@@ -49,6 +49,30 @@ from .eos import stress_tensor, tait_pressure
 # ---------------------------------------------------------------------------
 
 
+def stencil_geometry_raw(pos: jnp.ndarray, origin: jnp.ndarray, shape):
+    """``stencil_geometry`` against an explicit grid window.
+
+    ``origin`` may be a traced array — the sharded path passes each device's
+    slab origin computed from ``lax.axis_index`` (SURVEY.md §5.7).  ``shape``
+    stays static (it fixes array sizes).
+    """
+    dim = pos.shape[-1]
+    cell = jnp.floor(pos).astype(jnp.int32)  # [N, D]
+    diff = pos - (cell.astype(pos.dtype) + 0.5)  # [N, D] in [-0.5, 0.5)
+    ws = quadratic_weights(diff)  # [N, 3, D]
+    w = stencil_weights(ws)  # [N, K]
+
+    offs = stencil_offsets(dim)  # [K, D]
+    cell_n = cell[:, None, :] + (offs - 1)[None, :, :]  # [N, K, D]
+    dpos = (cell_n.astype(pos.dtype) + 0.5) - pos[:, None, :]  # [N, K, D]
+
+    shape_arr = jnp.asarray(shape, jnp.int32)
+    idx = cell_n - origin  # [N, K, D]
+    valid = jnp.all((idx >= 0) & (idx < shape_arr), axis=-1)  # [N, K]
+    idx = jnp.clip(idx, 0, shape_arr - 1)
+    return idx, dpos, w, valid
+
+
 def stencil_geometry(pos: jnp.ndarray, domain: Domain):
     """Compute everything the 3^D stencil needs, vectorized over particles.
 
@@ -64,22 +88,9 @@ def stencil_geometry(pos: jnp.ndarray, domain: Domain):
       w:     [N, K]    f32 combined stencil weights
       valid: [N, K]    bool tap-in-bounds mask (2d_multi.rs:165-167)
     """
-    dim = pos.shape[-1]
-    cell = jnp.floor(pos).astype(jnp.int32)  # [N, D]
-    diff = pos - (cell.astype(pos.dtype) + 0.5)  # [N, D] in [-0.5, 0.5)
-    ws = quadratic_weights(diff)  # [N, 3, D]
-    w = stencil_weights(ws)  # [N, K]
-
-    offs = stencil_offsets(dim)  # [K, D]
-    cell_n = cell[:, None, :] + (offs - 1)[None, :, :]  # [N, K, D]
-    dpos = (cell_n.astype(pos.dtype) + 0.5) - pos[:, None, :]  # [N, K, D]
-
-    origin = jnp.asarray(domain.origin, jnp.int32)
-    shape = jnp.asarray(domain.shape, jnp.int32)
-    idx = cell_n - origin  # [N, K, D]
-    valid = jnp.all((idx >= 0) & (idx < shape), axis=-1)  # [N, K]
-    idx = jnp.clip(idx, 0, shape - 1)
-    return idx, dpos, w, valid
+    return stencil_geometry_raw(
+        pos, jnp.asarray(domain.origin, jnp.int32), domain.shape
+    )
 
 
 def _split_idx(idx: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -150,7 +161,10 @@ def p2g_2(
     cell_mass = _gather(grid.mass, idx)  # [N, K]
     density = jnp.sum(cell_mass * w, axis=-1)  # [N]
 
-    volume = p.mass / density  # [N]; density>0 wherever a particle exists
+    # density > 0 wherever a real particle exists (self-tap weight >= 0.25^D);
+    # the guard keeps zero-mass padding/ghost particles from injecting NaNs.
+    pos_density = jnp.where(density > 0.0, density, 1.0)
+    volume = jnp.where(density > 0.0, p.mass / pos_density, 0.0)  # [N]
     pressure = tait_pressure(
         density, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power, cfg.pressure_floor
     )

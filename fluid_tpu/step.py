@@ -56,6 +56,10 @@ def substep(
     it when unused).
     """
     ops = _get_backend(backend)
+    if hasattr(ops, "substep"):
+        # Backend provides a fused substep (e.g. the sorted backend sorts
+        # once and runs every phase on the cell-ordered layout).
+        return ops.substep(p, cfg, domain, mouse_pos, mouse_active)
     grid = ops.p2g_1(p, cfg, domain)
     grid, density, pressure = ops.p2g_2(p, grid, cfg, domain)
     grid = ops.grid_update(grid, cfg)
