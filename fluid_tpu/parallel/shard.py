@@ -57,15 +57,17 @@ class ShardSpec:
     migrate_cap: int  # max emigrants per direction per substep
 
     def __post_init__(self):
-        if self.domain.shape[0] % self.n_shards != 0:
+        if self.n_shards > self.domain.shape[0]:
             raise ValueError(
-                f"grid x-extent {self.domain.shape[0]} not divisible by "
-                f"{self.n_shards} shards"
+                f"{self.n_shards} shards exceed grid x-extent {self.domain.shape[0]}"
             )
 
     @property
     def slab(self) -> int:
-        return self.domain.shape[0] // self.n_shards
+        """Owned cells along x per device (ceil — the conceptual grid is
+        padded up to slab*n_shards; the pad region is never touched because
+        particles are clamped well inside the real domain)."""
+        return -(-self.domain.shape[0] // self.n_shards)
 
     @property
     def local_grid_shape(self) -> Tuple[int, ...]:

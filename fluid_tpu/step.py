@@ -67,6 +67,27 @@ def substep(
     return p, grid
 
 
+def frame_body(
+    p: ParticleState,
+    cfg: Config,
+    domain: Domain,
+    mouse_pos: jnp.ndarray,
+    mouse_active: jnp.ndarray,
+    backend: str = "dense",
+    substeps: int | None = None,
+) -> ParticleState:
+    """Unjitted frame body (``cfg.iterations`` substeps under fori_loop) —
+    compose under your own jit/vmap/shard; or use ``frame`` for the default
+    jitted entry point."""
+
+    def body(_, p):
+        new_p, _ = substep(p, cfg, domain, mouse_pos, mouse_active, backend)
+        return new_p
+
+    n = cfg.iterations if substeps is None else substeps
+    return jax.lax.fori_loop(0, n, body, p)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "domain", "backend"), donate_argnames=("p",)
 )
@@ -83,12 +104,7 @@ def frame(
     Parity with ``Simulation::step`` (``2d_multi.rs:110-134``); particle
     buffers are donated so the frame runs in place on device.
     """
-
-    def body(_, p):
-        new_p, _ = substep(p, cfg, domain, mouse_pos, mouse_active, backend)
-        return new_p
-
-    return jax.lax.fori_loop(0, cfg.iterations, body, p)
+    return frame_body(p, cfg, domain, mouse_pos, mouse_active, backend)
 
 
 def no_mouse(dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
