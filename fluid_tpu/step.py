@@ -33,6 +33,10 @@ def _get_backend(name: str):
         from .ops import sorted_transfer
 
         return sorted_transfer
+    if name == "tiled":
+        from .ops import tiled_transfer
+
+        return tiled_transfer
     if name == "pallas":
         from .ops import pallas_transfer
 
