@@ -1,24 +1,30 @@
 #!/usr/bin/env python
 """Benchmark harness — the five BASELINE.json configs.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the headline config, last):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Headline metric (BASELINE.json): particle-steps/sec at 3D 1M particles on one
 TPU chip.  ``vs_baseline`` divides by the measured serial-CPU denominator in
-BASELINE_MEASURED.json (the identical-semantics C++ engine — the reference is
-an unbenchmarked serial Rust binary, SURVEY.md §6).
+BASELINE_MEASURED.json (the identical-semantics C++ engine, since the
+reference is an unbenchmarked serial Rust binary — SURVEY.md §6).
+
+Large-N configs use rest-density-filled scenes in proportionally larger
+domains ("full occupancy", BASELINE.json config 4): cramming 1M particles
+into the fixed 64-unit reference box would start the fluid at 244x rest
+density, which is a pressure bomb, not a benchmark.
 
 Usage:
-  python bench.py                      # headline: 3D 1M on default platform
-  python bench.py --config all         # run all five configs (summary line last)
-  python bench.py --platform cpu --quick
+  python bench.py                      # headline: 3D 1M
+  python bench.py --config all         # all five configs
+  python bench.py --platform cpu --quick --backend dense
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 import time
 from pathlib import Path
@@ -34,76 +40,132 @@ def _load_baseline():
     return {}
 
 
-def _bench_frame(cfg, n, frames, backend, seed=0, batch=None):
-    """Time `frames` full frames; returns (particle_steps/sec, s/frame)."""
+def _make_scene(dim, n, batch=None):
+    """Reference config for reference-N; scaled rest-density box otherwise."""
     import jax
     import jax.numpy as jnp
 
-    from fluid_tpu import scene, step
+    from fluid_tpu import scene
+    from fluid_tpu.config import default_2d, default_3d
+    from fluid_tpu.domain import make_domain
+    from fluid_tpu.state import ParticleState
+
+    base = default_2d() if dim == 2 else default_3d()
+    if n <= scene.REFERENCE_N:
+        cfg = base
+        if batch:
+            p, dom = scene.batched_dam_break(jax.random.key(0), cfg, batch, n=n)
+        else:
+            p, dom = scene.dam_break(jax.random.key(0), cfg, n=n)
+        return cfg, p, dom
+
+    # scaled domain: fluid box at rest density + ~15% margin around it
+    side = (n / base.rest_density) ** (1.0 / dim)
+    world = math.ceil(side * 1.15)
+    cfg = base.replace(
+        boundary_clip=(tuple(0.0 for _ in range(dim)), (float(world),) * dim)
+    )
+    dom = make_domain(cfg)
+    lo = (world - side) / 2
+    key = jax.random.key(0)
+    pos = jax.random.uniform(key, (n, dim), jnp.float32, lo, lo + side)
+    p = ParticleState.create(pos)
+    return cfg, p, dom
+
+
+def _tiled_spec(cfg, dom, n):
+    from fluid_tpu.ops import tiled_transfer as tt
+
+    # T=4 measured ~3.4x faster than T=8 at 1M (smaller one-hot window
+    # inflation E^D/3^D dominates the extra tile count)
+    T = 4
+    per_tile = cfg.rest_density * T**cfg.dim
+    cap = max(32, -(-int(per_tile * 2.0) // 32) * 32)
+    occupied = max(64, int(n / max(per_tile, 1.0) * 1.8))
+    active = min(-(-occupied // 64) * 64, math.prod(s // T for s in dom.shape))
+    return tt.TileSpec(tile=T, cap=cap, active=active)
+
+
+def _bench_frame(cfg, p, dom, frames, backend, batch=None):
+    import jax
+
+    from fluid_tpu import step
+    from fluid_tpu.ops import tiled_transfer as tt
+
+    mp, ma = step.no_mouse()
+    n = p.pos.shape[-2]
+
+    if backend == "tiled":
+        spec = _tiled_spec(cfg, dom, n)
+        over = int(tt.overflow_count(p.pos[0] if batch else p.pos, dom, spec))
+        if over:
+            print(f"# tiled spec overflow at t=0: {over}", file=sys.stderr)
+
+        def frame_fn(q):
+            def body(_, s):
+                return tt.substep(s, cfg, dom, mp, ma, spec)[0]
+
+            return jax.lax.fori_loop(0, cfg.iterations, body, q)
+
+    else:
+
+        def frame_fn(q):
+            return step.frame_body(q, cfg, dom, mp, ma, backend)
 
     if batch:
-        p, dom = scene.batched_dam_break(jax.random.key(seed), cfg, batch, n=n)
-        run = jax.jit(
-            lambda p, mp, ma: jax.vmap(lambda q: step.frame_body(q, cfg, dom, mp, ma))(p),
-            donate_argnums=(0,),
-        )
+        run = jax.jit(lambda q: jax.vmap(frame_fn)(q), donate_argnums=0)
     else:
-        p, dom = scene.dam_break(jax.random.key(seed), cfg, n=n)
-        run = jax.jit(
-            lambda p, mp, ma: step.frame_body(p, cfg, dom, mp, ma, backend),
-            donate_argnums=(0,),
-        )
-    mp, ma = step.no_mouse()
+        run = jax.jit(frame_fn, donate_argnums=0)
 
-    p = jax.block_until_ready(run(p, mp, ma))  # compile + warm
+    p = jax.block_until_ready(run(p))
+    float(p.pos.ravel()[0])  # force a real fetch — surfaces device faults
     t0 = time.perf_counter()
     for _ in range(frames):
-        p = run(p, mp, ma)
+        p = run(p)
     jax.block_until_ready(p)
     dt = time.perf_counter() - t0
+    float(p.pos.ravel()[0])
     per_frame = dt / frames
     total = n * (batch or 1) * cfg.iterations * frames
     return total / dt, per_frame
 
 
 CONFIGS = {
-    # name: (dim, particles, frames, batch, baseline_key)
-    "2d-ref": (2, 4096, 20, None, "2d_reference_frame"),
-    "3d-ref": (3, 4096, 20, None, "3d_reference_frame"),
-    "2d-100k": (2, 100_000, 10, None, "2d_100k"),
-    "3d-1m": (3, 1_000_000, 3, None, "3d_1m"),
-    "batch-64": (3, 4096, 3, 64, "3d_reference_frame"),
+    # name: (dim, particles, frames, batch, baseline_key, backends)
+    "2d-ref": (2, 4096, 20, None, "2d_reference_frame", ("dense", "sorted", "tiled")),
+    "3d-ref": (3, 4096, 10, None, "3d_reference_frame", ("dense", "sorted", "tiled")),
+    "2d-100k": (2, 100_000, 5, None, "2d_100k", ("tiled", "sorted")),
+    "3d-1m": (3, 1_000_000, 3, None, "3d_1m", ("tiled",)),
+    "batch-64": (3, 4096, 3, 64, "3d_reference_frame", ("dense", "tiled")),
 }
 
 
 def run_config(name, backend, quick, baselines):
-    from fluid_tpu.config import default_2d, default_3d
-
-    dim, n, frames, batch, bkey = CONFIGS[name]
+    dim, n, frames, batch, bkey, backends = CONFIGS[name]
     if quick:
         n = min(n, 20_000)
         frames = max(2, frames // 4)
         batch = min(batch, 8) if batch else None
-    cfg = default_2d() if dim == 2 else default_3d()
+    cfg, p, dom = _make_scene(dim, n, batch)
+
+    import jax
 
     if backend == "auto":
-        candidates = ["dense", "sorted"]
         timed = {}
-        for b in candidates:
+        for b in backends:
             try:
-                pps, spf = _bench_frame(cfg, n, max(2, frames // 2), b, batch=batch)
+                pcopy = jax.tree.map(lambda a: a.copy(), p)
+                pps, spf = _bench_frame(cfg, pcopy, dom, max(2, frames // 2), b, batch)
                 timed[b] = (pps, spf)
-            except Exception as e:  # noqa: BLE001 — a backend may be unsupported
-                print(f"# backend {b} failed: {e}", file=sys.stderr)
+                print(f"# {name}/{b}: {pps:,.0f} pps", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"# {name}/{b} failed: {type(e).__name__}: {e}", file=sys.stderr)
         backend, (pps, spf) = max(timed.items(), key=lambda kv: kv[1][0])
     else:
-        pps, spf = _bench_frame(cfg, n, frames, backend, batch=batch)
+        pps, spf = _bench_frame(cfg, p, dom, frames, backend, batch)
 
     base = baselines.get(bkey, {}).get("particle_steps_per_sec")
     vs = (pps / base) if base else 0.0
-    if batch:
-        # baseline key is per-scene serial; scale denominator by batch
-        vs = (pps / (base * 1.0)) if base else 0.0
     return {
         "config": name,
         "backend": backend,
@@ -118,7 +180,9 @@ def run_config(name, backend, quick, baselines):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="3d-1m", choices=[*CONFIGS, "all"])
-    ap.add_argument("--backend", default="auto", choices=("auto", "dense", "sorted", "pallas"))
+    ap.add_argument(
+        "--backend", default="auto", choices=("auto", "dense", "sorted", "tiled", "pallas")
+    )
     ap.add_argument("--platform", default=None, choices=(None, "cpu", "tpu"))
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args(argv)

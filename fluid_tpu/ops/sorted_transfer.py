@@ -118,7 +118,7 @@ def substep(
 
     # ---- p2g_1: mass + APIC momentum ------------------------------------
     mc = jnp.where(valid, w * ps.mass[:, None], 0.0)  # [N, K]
-    q = jnp.einsum("nij,nkj->nki", ps.C, dpos)  # [N, K, D]
+    q = jnp.einsum("nij,nkj->nki", ps.C, dpos, precision=jax.lax.Precision.HIGHEST)  # [N, K, D]
     mom = mc[..., None] * (ps.vel[:, None, :] + q)  # [N, K, D]
 
     grid_m = jnp.zeros((ncells,), p.pos.dtype)
@@ -140,7 +140,7 @@ def substep(
     )
     stress = stress_tensor(ps.C, pressure, cfg.dynamic_viscosity)
     term = (-4.0 * cfg.dt) * volume[:, None, None] * stress  # [N, D, D]
-    contrib = wv[..., None] * jnp.einsum("nij,nkj->nki", term, dpos)  # [N, K, D]
+    contrib = wv[..., None] * jnp.einsum("nij,nkj->nki", term, dpos, precision=jax.lax.Precision.HIGHEST)  # [N, K, D]
     for k in range(K):
         grid_mv = grid_mv + _seg_sum(contrib[:, k, :], ids[k], ncells)
 

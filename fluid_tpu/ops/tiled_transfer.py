@@ -49,7 +49,7 @@ from ..config import Config
 from ..domain import Domain
 from ..state import GridState, ParticleState
 from .eos import tait_pressure
-from .tiling import assemble, extract
+from .tiling import assemble, edge_mask, extract, halo_sum
 
 
 @dataclasses.dataclass(frozen=True)
@@ -206,7 +206,7 @@ def _deposit(profs: List[jnp.ndarray], ch: jnp.ndarray) -> jnp.ndarray:
         X = (X[:, :, None, :] * profs[d][:, None, :, :]).reshape(A, -1, cap)
     # contract cap on the MXU: [A, E, cap] x [A, F, cap] -> [A, E, F]
     return lax.dot_general(
-        profs[0], X, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        profs[0], X, (((2,), (2,)), ((0,), (0,))), precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32
     )
 
 
@@ -217,7 +217,7 @@ def _collect(profs: List[jnp.ndarray], blocks: jnp.ndarray, C: int) -> jnp.ndarr
     cap = profs[0].shape[-1]
     # contract E0: [A, E, cap] x [A, E, F] -> [A, F, cap]
     X = lax.dot_general(
-        blocks, profs[0], (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        blocks, profs[0], (((1,), (1,)), ((0,), (0,))), precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32
     )  # [A, F, cap]
     for d in range(1, len(profs)):
         # X: [A, C*rest*E_d? ...] — current layout [A, C*E_d*rest, cap] with
@@ -298,7 +298,7 @@ def substep(
 
     # ---- p2g_1: mass + APIC momentum ------------------------------------
     # tap momentum value: m(v + C dpos_tap), dpos_tap = -dvec + (o-1)
-    Cdv = jnp.einsum("aijs,ajs->ais", bC, dvec)  # [A, D, cap]
+    Cdv = jnp.einsum("aijs,ajs->ais", bC, dvec, precision=jax.lax.Precision.HIGHEST)  # [A, D, cap]
     Aval = bmass[:, None, :] * (bvel - Cdv)  # [A, D, cap]
     ch0 = jnp.concatenate([bmass[:, None, :], Aval], axis=1)  # [A, 1+D, cap]
     dep = _deposit(plain, ch0)  # [A, E, (1+D)*E^{D-1}]
@@ -317,17 +317,10 @@ def substep(
         dense = jnp.zeros((nt + 1, flat.shape[1]), dtype)
         dense = dense.at[b["tile_of_active"]].add(flat, mode="drop")
         dense = dense[:nt].reshape((nt, E, C) + (E,) * (D - 1))
-        # -> [nt, E, E, ..., C] for tiling.assemble (channels trailing)
+        # -> [nt, E, E, ..., C] (channels trailing, the tiling.py layout)
         perm = (0, 1) + tuple(range(3, 2 + D)) + (2,)
         return dense.transpose(perm)
 
-    dense_dep = to_dense_blocks(dep, CH0)  # [nt, E..., 1+D]
-    grid_all = assemble(dense_dep, tshape, T)  # [*shape, 1+D]
-    grid_m = grid_all[..., 0]
-    grid_mv = grid_all[..., 1:]
-
-    # ---- p2g_2: density gather + EOS + force deposit --------------------
-    mblocks_dense = extract(grid_m[..., None], tshape, T)  # [nt, E..., 1]
     perm_in = (0, 1, 1 + D) + tuple(range(2, 1 + D))
 
     def to_active_blocks(dense_blocks, C):
@@ -337,7 +330,24 @@ def substep(
         act = jnp.take(x, b["tile_of_active"], axis=0)
         return act.reshape(A, E, -1)
 
-    mact = to_active_blocks(mblocks_dense, 1)
+    # out-of-grid halo cells of boundary tiles read as 0 (the reference drops
+    # those taps, 2d_multi.rs:165-167) — masked on the active blocks only
+    emask_act = to_active_blocks(
+        edge_mask(tshape, T, dtype)[..., None], 1
+    )  # [A, E, E^{D-1}]
+
+    def mask_act(act, C):
+        x = act.reshape(A, E, C, -1)
+        return (x * emask_act[:, :, None, :]).reshape(A, E, -1)
+
+    # halo-complete the deposit blocks entirely in block space — no dense
+    # grid round-trip in the hot loop (halo_sum == assemble+extract, tested)
+    dense_dep = to_dense_blocks(dep, CH0)  # [nt, E..., 1+D]
+    hs1 = halo_sum(dense_dep, tshape, T)
+    act1 = mask_act(to_active_blocks(hs1, CH0), CH0)  # [A, E, CH0*E^{D-1}]
+    act1_r = act1.reshape(A, E, CH0, -1)
+    mact = act1_r[:, :, 0, :].reshape(A, E, -1)
+
     rho = _collect(plain, mact, 1)[:, 0, :]  # [A, cap]
     rho_pos = jnp.where(rho > 0.0, rho, 1.0)
     volume = jnp.where(rho > 0.0, bmass / rho_pos, 0.0)
@@ -349,21 +359,26 @@ def substep(
     stress = -pressure[:, None, None, :] * eye + cfg.dynamic_viscosity * strain
     term = (-4.0 * cfg.dt) * volume[:, None, None, :] * stress  # [A, D, D, cap]
 
-    A2 = -jnp.einsum("aijs,ajs->ais", term, dvec)  # [A, D, cap]
+    A2 = -jnp.einsum("aijs,ajs->ais", term, dvec, precision=jax.lax.Precision.HIGHEST)  # [A, D, cap]
     dep2 = _deposit(plain, A2)
     for d in range(D):
         dep2 = dep2 + _deposit(_axis_variants(plain, moment, d), term[:, :, d, :])
     dense_dep2 = to_dense_blocks(dep2, D)
-    grid_mv = grid_mv + assemble(dense_dep2, tshape, T)
+    hs2 = halo_sum(dense_dep2, tshape, T)
+    act2 = mask_act(to_active_blocks(hs2, D), D).reshape(A, E, D, -1)
 
-    # ---- grid update ----------------------------------------------------
+    # ---- grid update (on active blocks only; halo replicas consistent) --
     g = jnp.asarray(cfg.gravity, dtype)
-    m = grid_m[..., None]
-    grid_v = jnp.where(m > 0.0, grid_mv / jnp.where(m > 0.0, m, 1.0) + cfg.dt * g, 0.0)
+    m_b = act1_r[:, :, 0:1, :]  # [A, E, 1, F]
+    mom_b = act1_r[:, :, 1:, :] + act2  # [A, E, D, F]
+    v_b = jnp.where(
+        m_b > 0.0,
+        mom_b / jnp.where(m_b > 0.0, m_b, 1.0) + cfg.dt * g[None, None, :, None],
+        0.0,
+    )
 
     # ---- g2p ------------------------------------------------------------
-    vblocks_dense = extract(grid_v, tshape, T)  # [nt, E..., D]
-    vact = to_active_blocks(vblocks_dense, D)
+    vact = v_b.reshape(A, E, -1)
     v_slot = _collect(plain, vact, D)  # [A, D, cap]
     B = v_slot[:, :, None, :] * (-dvec)[:, None, :, :]  # v_i * (-dvec_j)
     for d in range(D):
@@ -440,6 +455,15 @@ def substep(
         density=unpacked[:, FO - 2],
         pressure=unpacked[:, FO - 1],
     )
+
+    # Dense GridState for API/diagnostic parity — assembled from the pre-halo
+    # deposit blocks; XLA dead-code-eliminates this whenever the caller
+    # discards the grid (e.g. the frame loop), so the hot path never pays it.
+    grid_all = assemble(dense_dep, tshape, T)  # [*shape, 1+D]
+    grid_m = grid_all[..., 0]
+    grid_mv = grid_all[..., 1:] + assemble(dense_dep2, tshape, T)
+    m = grid_m[..., None]
+    grid_v = jnp.where(m > 0.0, grid_mv / jnp.where(m > 0.0, m, 1.0) + cfg.dt * g, 0.0)
     grid = GridState(mass=grid_m, vel=grid_v)
     return out, grid
 

@@ -118,3 +118,72 @@ def extract(grid: jnp.ndarray, tshape: Tuple[int, ...], T: int) -> jnp.ndarray:
     import math
 
     return x.reshape(math.prod(tshape), *(E,) * D, *chan)
+
+
+def halo_sum(blocks: jnp.ndarray, tshape: Tuple[int, ...], T: int) -> jnp.ndarray:
+    """Overlap-add entirely in block space (no dense grid round-trip).
+
+    Each grid cell is replicated in up to 2^D neighboring tiles' expanded
+    blocks; after this halo summation every replica holds the GLOBAL sum of
+    deposits at its cell: for each tile-offset delta in {-1,0,1}^D, local
+    cells e with e - T*delta_d in [0, E) receive the neighbor's aligned
+    slice.  27 (3D) static slice-adds over [*tshape, E, ..., *chan]; edge
+    tiles simply receive nothing from missing neighbors.
+
+    This is the TPU-block analog of the reference's p_rect halo (SURVEY.md
+    §5.7); out-of-grid cells are NOT cropped here — apply ``edge_mask`` after.
+    """
+    D = len(tshape)
+    E = blocks.shape[1]
+    chan = blocks.shape[1 + D :]
+    x = blocks.reshape(*tshape, *(E,) * D, *chan)
+    nc = (slice(None),) * len(chan)
+    # Separable: one pass per axis (the 3^D neighbor shifts are the tensor
+    # product of per-axis 3-shifts; sequential per-axis accumulation computes
+    # that product by distributivity).  Each pass: 2 slice-adds.
+    for d in range(D):
+        t_ax, e_ax = d, D + d
+
+        def sl(tile_s, e_s, which_t, which_e):
+            idx = [slice(None)] * (2 * D)
+            idx[which_t] = tile_s
+            idx[which_e] = e_s
+            return tuple(idx) + nc
+
+        out = x
+        # from +1 neighbor: my e in [T, E) == their [0, E-T)
+        out = out.at[sl(slice(None, -1), slice(T, E), t_ax, e_ax)].add(
+            x[sl(slice(1, None), slice(0, E - T), t_ax, e_ax)]
+        )
+        # from -1 neighbor: my e in [0, E-T) == their [T, E)
+        out = out.at[sl(slice(1, None), slice(0, E - T), t_ax, e_ax)].add(
+            x[sl(slice(None, -1), slice(T, E), t_ax, e_ax)]
+        )
+        x = out
+    import math
+
+    return x.reshape((math.prod(tshape),) + (E,) * D + chan)
+
+
+def edge_mask(tshape: Tuple[int, ...], T: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[n_tiles, E, ..., E] mask: 1 where the block cell maps to a real grid
+    cell, 0 for the out-of-grid halo of boundary tiles (the reference drops
+    those stencil taps, 2d_multi.rs:165-167)."""
+    import math
+
+    D = len(tshape)
+    E = T + 2
+    per_axis = []
+    for d in range(D):
+        t_io = jnp.arange(tshape[d])[:, None]
+        e_io = jnp.arange(E)[None, :]
+        g = t_io * T + e_io - 1
+        per_axis.append(((g >= 0) & (g < tshape[d] * T)).astype(dtype))
+    m = per_axis[0]
+    for d in range(1, D):
+        m = m[..., None, None] * per_axis[d][None, None, ...]
+        # shape grows as [t0, E, t1, E, ...]; reorder at the end
+    # m currently [t0, E, t1, E, (t2, E)]
+    perm = [2 * d for d in range(D)] + [2 * d + 1 for d in range(D)]
+    m = m.transpose(perm)
+    return m.reshape((math.prod(tshape),) + (E,) * D)

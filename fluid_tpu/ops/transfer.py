@@ -130,7 +130,7 @@ def p2g_1(p: ParticleState, cfg: Config, domain: Domain) -> GridState:
     """
     idx, dpos, w, valid = stencil_geometry(p.pos, domain)
     mass_contrib = jnp.where(valid, w * p.mass[:, None], 0.0)  # [N, K]
-    q = jnp.einsum("nij,nkj->nki", p.C, dpos)  # [N, K, D]
+    q = jnp.einsum("nij,nkj->nki", p.C, dpos, precision=jax.lax.Precision.HIGHEST)  # [N, K, D]
     mom = mass_contrib[..., None] * (p.vel[:, None, :] + q)  # [N, K, D]
 
     grid_m = _scatter_add(jnp.zeros(domain.shape, p.pos.dtype), idx, mass_contrib)
@@ -172,7 +172,7 @@ def p2g_2(
     term = (-4.0 * cfg.dt) * volume[:, None, None] * stress  # [N, D, D]
 
     # Per-tap momentum contribution: w * term @ dpos  -> [N, K, D]
-    contrib = w[..., None] * jnp.einsum("nij,nkj->nki", term, dpos)
+    contrib = w[..., None] * jnp.einsum("nij,nkj->nki", term, dpos, precision=jax.lax.Precision.HIGHEST)
     grid_mv = _scatter_add(grid.vel, idx, contrib)
     return GridState(mass=grid.mass, vel=grid_mv), density, pressure
 
@@ -234,7 +234,7 @@ def g2p(
     wv = w[..., None] * v_cell  # [N, K, D]
     vel = jnp.sum(wv, axis=1)  # [N, D]
     # B_ij = sum_k wv_i * dpos_j
-    B = jnp.einsum("nki,nkj->nij", wv, dpos)  # [N, D, D]
+    B = jnp.einsum("nki,nkj->nij", wv, dpos, precision=jax.lax.Precision.HIGHEST)  # [N, D, D]
     C = 4.0 * B
 
     pos = p.pos + vel * cfg.dt

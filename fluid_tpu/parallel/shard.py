@@ -156,7 +156,7 @@ def _local_substep(
 
     # ---- p2g_1 ----------------------------------------------------------
     mc = w * mass_eff[:, None]
-    q = jnp.einsum("nij,nkj->nki", p.C, dpos)
+    q = jnp.einsum("nij,nkj->nki", p.C, dpos, precision=jax.lax.Precision.HIGHEST)
     mom = mc[..., None] * (p.vel[:, None, :] + q)
     grid_m = scatter(jnp.zeros(lshape, p.pos.dtype), mc)
     grid_mv = scatter(jnp.zeros((*lshape, dim), p.pos.dtype), mom)
@@ -174,7 +174,7 @@ def _local_substep(
     )
     stress = stress_tensor(p.C, pressure, cfg.dynamic_viscosity)
     term = (-4.0 * cfg.dt) * volume[:, None, None] * stress
-    grid_mv = scatter(grid_mv, w[..., None] * jnp.einsum("nij,nkj->nki", term, dpos))
+    grid_mv = scatter(grid_mv, w[..., None] * jnp.einsum("nij,nkj->nki", term, dpos, precision=jax.lax.Precision.HIGHEST))
 
     # ---- halo: complete momentum; grid update; fill velocity halos ------
     grid_mv = _exchange_add(grid_mv, slab, s)
@@ -186,7 +186,7 @@ def _local_substep(
     # ---- g2p ------------------------------------------------------------
     wv = w[..., None] * gather(grid_v)
     vel = jnp.sum(wv, axis=1)
-    C = 4.0 * jnp.einsum("nki,nkj->nij", wv, dpos)
+    C = 4.0 * jnp.einsum("nki,nkj->nij", wv, dpos, precision=jax.lax.Precision.HIGHEST)
     pos = p.pos + vel * cfg.dt
 
     plane = pos[..., :2]

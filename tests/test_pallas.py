@@ -1,0 +1,70 @@
+"""Pallas kernel equivalence vs the dense backend (SURVEY.md §4.4).
+
+Runs in interpreter mode so the full kernel logic (DMA slicing, profile
+construction, MXU contractions, masked outputs) is exercised on CPU; the
+same kernels compile and run bit-equivalently on TPU (verified on hardware —
+see the module docstring of ops/pallas_transfer.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluid_tpu import step
+from fluid_tpu.config import default_2d, default_3d
+from fluid_tpu.domain import make_domain
+from fluid_tpu.ops import pallas_transfer as pt
+from fluid_tpu.ops import tiled_transfer as tt
+from fluid_tpu.state import ParticleState
+
+
+def _case(dim, n, seed):
+    base = default_2d() if dim == 2 else default_3d()
+    cfg = base.replace(
+        boundary_clip=(tuple(0.0 for _ in range(dim)), tuple(32.0 for _ in range(dim))),
+        grid_res=16,
+    )
+    dom = make_domain(cfg)
+    k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+    pos = jax.random.uniform(k1, (n, dim), jnp.float32, 8.0, 24.0)
+    p = ParticleState.create(pos)
+    p.vel = jax.random.normal(k2, p.vel.shape) * 0.4
+    p.C = jax.random.normal(k3, p.C.shape) * 0.05
+    return cfg, p, dom
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_pallas_matches_dense(dim):
+    cfg, p, dom = _case(dim, 384, seed=0)
+    spec = tt.TileSpec(tile=4, cap=64)
+    mp, ma = step.no_mouse()
+    a, ga = step.substep(p, cfg, dom, mp, ma, backend="dense")
+    b, gb = pt.substep(p, cfg, dom, mp, ma, spec, interpret=True)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.density), np.asarray(b.density), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.pressure), np.asarray(b.pressure), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga.mass), np.asarray(gb.mass), atol=1e-4)
+
+
+def test_pallas_with_mouse():
+    cfg, p, dom = _case(2, 256, seed=1)
+    spec = tt.TileSpec(tile=4, cap=64)
+    mp, ma = step.mouse((16.0, 16.0))
+    a, _ = step.substep(p, cfg, dom, mp, ma, backend="dense")
+    b, _ = pt.substep(p, cfg, dom, mp, ma, spec, interpret=True)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
+
+
+def test_pallas_multi_substep():
+    cfg, p, dom = _case(2, 384, seed=2)
+    spec = tt.TileSpec(tile=4, cap=96)
+    mp, ma = step.no_mouse()
+    a, b = p, p
+    for _ in range(4):
+        a, _ = step.substep(a, cfg, dom, mp, ma, backend="dense")
+        b, _ = pt.substep(b, cfg, dom, mp, ma, spec, interpret=True)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-4)

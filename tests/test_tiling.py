@@ -74,3 +74,18 @@ def test_assemble_extract_adjoint():
     lhs = float((tiling.assemble(jnp.asarray(B), tshape, T) * G).sum())
     rhs = float((jnp.asarray(B) * tiling.extract(jnp.asarray(G), tshape, T)).sum())
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_halo_sum_matches_assemble_extract():
+    # halo_sum + edge_mask must equal the dense round trip: for every tile
+    # block, extract(assemble(blocks)) == edge_mask * halo_sum(blocks).
+    rng = np.random.default_rng(3)
+    for tshape, T in [((3, 2), 4), ((2, 2, 2), 4), ((4,), 4)]:
+        D = len(tshape)
+        E = T + 2
+        n = int(np.prod(tshape))
+        blocks = rng.normal(size=(n, *(E,) * D, 2)).astype(np.float32)
+        want = tiling.extract(tiling.assemble(jnp.asarray(blocks), tshape, T), tshape, T)
+        got = tiling.halo_sum(jnp.asarray(blocks), tshape, T)
+        mask = tiling.edge_mask(tshape, T)[..., None]
+        np.testing.assert_allclose(np.asarray(got * mask), np.asarray(want), atol=1e-5)
