@@ -54,10 +54,11 @@ def _make_scene(dim, n, batch=None):
     if n <= scene.REFERENCE_N:
         cfg = base
         if batch:
-            p, dom = scene.batched_dam_break(jax.random.key(0), cfg, batch, n=n)
+            p, _ = scene.batched_dam_break(jax.random.key(0), cfg, batch, n=n)
         else:
-            p, dom = scene.dam_break(jax.random.key(0), cfg, n=n)
-        return cfg, p, dom
+            p, _ = scene.dam_break(jax.random.key(0), cfg, n=n)
+        # tight halo: identical physics, far fewer grid cells (tested)
+        return cfg, p, make_domain(cfg, halo_cells=4)
 
     # scaled domain: fluid box at rest density + ~15% margin around it
     side = (n / base.rest_density) ** (1.0 / dim)
@@ -65,7 +66,7 @@ def _make_scene(dim, n, batch=None):
     cfg = base.replace(
         boundary_clip=(tuple(0.0 for _ in range(dim)), (float(world),) * dim)
     )
-    dom = make_domain(cfg)
+    dom = make_domain(cfg, halo_cells=4)
     lo = (world - side) / 2
     key = jax.random.key(0)
     pos = jax.random.uniform(key, (n, dim), jnp.float32, lo, lo + side)
@@ -95,17 +96,20 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
     mp, ma = step.no_mouse()
     n = p.pos.shape[-2]
 
-    if backend == "tiled":
+    if backend in ("tiled", "pallas"):
         spec = _tiled_spec(cfg, dom, n)
         over = int(tt.overflow_count(p.pos[0] if batch else p.pos, dom, spec))
         if over:
             print(f"# tiled spec overflow at t=0: {over}", file=sys.stderr)
+        if backend == "pallas":
+            from fluid_tpu.ops import pallas_transfer as pt
+
+            sub = lambda s: pt.substep(s, cfg, dom, mp, ma, spec)[0]
+        else:
+            sub = lambda s: tt.substep(s, cfg, dom, mp, ma, spec)[0]
 
         def frame_fn(q):
-            def body(_, s):
-                return tt.substep(s, cfg, dom, mp, ma, spec)[0]
-
-            return jax.lax.fori_loop(0, cfg.iterations, body, q)
+            return jax.lax.fori_loop(0, cfg.iterations, lambda _, s: sub(s), q)
 
     else:
 
@@ -135,8 +139,8 @@ CONFIGS = {
     "2d-ref": (2, 4096, 20, None, "2d_reference_frame", ("dense", "sorted", "tiled")),
     "3d-ref": (3, 4096, 10, None, "3d_reference_frame", ("dense", "sorted", "tiled")),
     "2d-100k": (2, 100_000, 5, None, "2d_100k", ("tiled", "sorted")),
-    "3d-1m": (3, 1_000_000, 3, None, "3d_1m", ("tiled",)),
-    "batch-64": (3, 4096, 3, 64, "3d_reference_frame", ("dense", "tiled")),
+    "3d-1m": (3, 1_000_000, 3, None, "3d_1m", ("tiled", "pallas")),
+    "batch-64": (3, 4096, 3, 64, "3d_reference_frame", ("tiled", "sorted")),
 }
 
 

@@ -18,7 +18,7 @@ Quick start::
 from .config import Config, default_2d, default_3d
 from .domain import Domain, make_domain
 from .state import GridState, ParticleState
-from . import ops, scene, step
+from . import checkpoint, diagnostics, ops, render, scene, step
 
 __version__ = "0.1.0"
 
@@ -30,7 +30,10 @@ __all__ = [
     "make_domain",
     "GridState",
     "ParticleState",
+    "checkpoint",
+    "diagnostics",
     "ops",
+    "render",
     "scene",
     "step",
 ]

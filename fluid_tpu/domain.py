@@ -54,7 +54,7 @@ class Domain:
         return math.prod(self.shape)
 
 
-def make_domain(cfg: Config, rect_min=None, rect_max=None) -> Domain:
+def make_domain(cfg: Config, rect_min=None, rect_max=None, halo_cells=None) -> Domain:
     """Derive the dense-grid geometry for a world rect (default: boundary_clip).
 
     Mirrors ``set_rect`` (``2d_multi.rs:79-102``): active rect =
@@ -63,6 +63,13 @@ def make_domain(cfg: Config, rect_min=None, rect_max=None) -> Domain:
 
     For the reference 2D defaults this yields a 160×160 grid with origin
     (-32,-32); for 3D, 112³ with origin (-16,-16,-16) (SURVEY.md §2.2).
+
+    ``halo_cells``: the reference pads by a FULL CHUNK (grid_res cells) per
+    side purely because its allocation granularity is the chunk; the physics
+    only ever touches 1 halo cell (stencil radius of clamped particles).
+    Pass a small value (e.g. 4) for a tight grid with identical semantics —
+    the 3D reference domain shrinks 112³ -> 72³ (3.8x fewer cells).  Shapes
+    are rounded up to a multiple of 8 (tile-size friendly).
     """
     if rect_min is None:
         rect_min = cfg.boundary_clip[0]
@@ -74,6 +81,17 @@ def make_domain(cfg: Config, rect_min=None, rect_max=None) -> Domain:
     p_min = tuple(k - 1 for k in a_min)
     p_max = tuple(k + 1 for k in a_max)
 
-    origin = tuple(k * cfg.grid_res for k in p_min)
-    shape = tuple((hi - lo) * cfg.grid_res for lo, hi in zip(p_min, p_max))
+    if halo_cells is None:
+        origin = tuple(k * cfg.grid_res for k in p_min)
+        shape = tuple((hi - lo) * cfg.grid_res for lo, hi in zip(p_min, p_max))
+    else:
+        if halo_cells < 1:
+            raise ValueError("halo_cells must cover the stencil radius (>= 1)")
+        origin = tuple(
+            int(math.floor(x)) - halo_cells for x in rect_min
+        )
+        shape = tuple(
+            -(-(int(math.ceil(hi)) + halo_cells - o) // 8) * 8
+            for hi, o in zip(rect_max, origin)
+        )
     return Domain(origin=origin, shape=shape, a_rect=(a_min, a_max), p_rect=(p_min, p_max))

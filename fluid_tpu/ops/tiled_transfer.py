@@ -233,6 +233,50 @@ def _axis_variants(plain, moment, d):
     return [moment[i] if i == d else plain[i] for i in range(len(plain))]
 
 
+def _cat_profiles(plain, moment):
+    """Per-axis K-concat of the 1+D variant groups along the slot axis.
+
+    Group g uses the moment profile on axis g-1 and plain elsewhere;
+    sum_g dot(P_g, X_g) == dot(concat_K(P_g), concat_K(X_g)) — one big
+    matmul instead of 1+D small ones (MXU K-utilization).
+    Returns list of D arrays [A, E, (1+D)*cap].
+    """
+    D = len(plain)
+    out = []
+    for axis in range(D):
+        groups = [plain[axis]]
+        for g in range(D):
+            groups.append(moment[axis] if g == axis else plain[axis])
+        out.append(jnp.concatenate(groups, axis=-1))
+    return out
+
+
+def _deposit_merged(plain, moment, ch_groups) -> jnp.ndarray:
+    """Sum of 1+D variant deposits as ONE contraction.
+
+    ch_groups: list of 1+D channel tensors [A, C, cap] (same C — zero-pad
+    rows that a group doesn't use).  Returns blocks like _deposit.
+    """
+    profs_cat = _cat_profiles(plain, moment)
+    ch_cat = jnp.concatenate(ch_groups, axis=-1)  # [A, C, (1+D)*cap]
+    return _deposit(profs_cat, ch_cat)
+
+
+def _collect_all_variants(plain, moment, blocks: jnp.ndarray, C: int):
+    """All 1+D variant collects (plain + per-axis moment) in one contraction.
+
+    Returns list of 1+D tensors [A, C, cap] (plain first).
+    """
+    A = blocks.shape[0]
+    E = plain[0].shape[1]
+    cap = plain[0].shape[-1]
+    D = len(plain)
+    G = 1 + D
+    profs_cat = _cat_profiles(plain, moment)
+    X = _collect(profs_cat, blocks, C)  # [A, C, G*cap]
+    return [X[:, :, g * cap : (g + 1) * cap] for g in range(G)]
+
+
 # ---------------------------------------------------------------------------
 # Fused substep
 # ---------------------------------------------------------------------------
@@ -297,19 +341,18 @@ def substep(
         moment.append(mo)
 
     # ---- p2g_1: mass + APIC momentum ------------------------------------
-    # tap momentum value: m(v + C dpos_tap), dpos_tap = -dvec + (o-1)
+    # tap momentum value: m(v + C dpos_tap), dpos_tap = -dvec + (o-1);
+    # the 1+D variant groups (plain + per-axis moment) run as ONE K-concat
+    # contraction — a zero mass row aligns the moment groups' channels
     Cdv = jnp.einsum("aijs,ajs->ais", bC, dvec, precision=jax.lax.Precision.HIGHEST)  # [A, D, cap]
     Aval = bmass[:, None, :] * (bvel - Cdv)  # [A, D, cap]
-    ch0 = jnp.concatenate([bmass[:, None, :], Aval], axis=1)  # [A, 1+D, cap]
-    dep = _deposit(plain, ch0)  # [A, E, (1+D)*E^{D-1}]
     CH0 = 1 + D
+    zrow = jnp.zeros((A, 1, cap), dtype)
+    ch_groups = [jnp.concatenate([bmass[:, None, :], Aval], axis=1)]
     for d in range(D):
         Bd = bmass[:, None, :] * bC[:, :, d, :]  # [A, D, cap]
-        depd = _deposit(_axis_variants(plain, moment, d), Bd)  # [A, E, D*E^{D-1}]
-        # merge: dep channels [1+D], depd channels [D] aligned to mom slots
-        dep = dep.reshape(A, E, CH0, -1).at[:, :, 1:, :].add(
-            depd.reshape(A, E, D, -1)
-        ).reshape(A, E, -1)
+        ch_groups.append(jnp.concatenate([zrow, Bd], axis=1))
+    dep = _deposit_merged(plain, moment, ch_groups)  # [A, E, CH0*E^{D-1}]
 
     # scatter active blocks into the dense per-tile array (wide rows — cheap)
     def to_dense_blocks(active_blocks, C):
@@ -360,9 +403,9 @@ def substep(
     term = (-4.0 * cfg.dt) * volume[:, None, None, :] * stress  # [A, D, D, cap]
 
     A2 = -jnp.einsum("aijs,ajs->ais", term, dvec, precision=jax.lax.Precision.HIGHEST)  # [A, D, cap]
-    dep2 = _deposit(plain, A2)
-    for d in range(D):
-        dep2 = dep2 + _deposit(_axis_variants(plain, moment, d), term[:, :, d, :])
+    dep2 = _deposit_merged(
+        plain, moment, [A2] + [term[:, :, d, :] for d in range(D)]
+    )
     dense_dep2 = to_dense_blocks(dep2, D)
     hs2 = halo_sum(dense_dep2, tshape, T)
     act2 = mask_act(to_active_blocks(hs2, D), D).reshape(A, E, D, -1)
@@ -379,11 +422,11 @@ def substep(
 
     # ---- g2p ------------------------------------------------------------
     vact = v_b.reshape(A, E, -1)
-    v_slot = _collect(plain, vact, D)  # [A, D, cap]
+    collected = _collect_all_variants(plain, moment, vact, D)
+    v_slot = collected[0]  # [A, D, cap]
     B = v_slot[:, :, None, :] * (-dvec)[:, None, :, :]  # v_i * (-dvec_j)
     for d in range(D):
-        Md = _collect(_axis_variants(plain, moment, d), vact, D)  # [A, D, cap]
-        B = B.at[:, :, d, :].add(Md)
+        B = B.at[:, :, d, :].add(collected[1 + d])  # sum_taps w (o_d-1) v_i
     newC = 4.0 * B
     newpos = bpos + v_slot * cfg.dt
 

@@ -73,6 +73,14 @@ def batched_dam_break(
     return state, make_domain(cfg)
 
 
+def add_particles(state: ParticleState, pos, vel=None, C=None, mass=None) -> ParticleState:
+    """Append particles to a scene (the ``add_particle`` analog,
+    ``2d_multi.rs:104-108``) — returns a NEW fixed-size state; call while
+    building scenes, not inside jit (shapes change)."""
+    extra = ParticleState.create(pos, vel=vel, C=C, mass=mass)
+    return jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), state, extra)
+
+
 def reference_scene_2d(seed: int = 0, n: int = REFERENCE_N):
     """The exact reference 2D app scene (config + particles + domain)."""
     cfg = default_2d()

@@ -32,6 +32,12 @@ class PhaseTimer:
         self.cfg = cfg
         self.domain = domain
         ops = _get_backend(backend)
+        if not hasattr(ops, "p2g_1"):
+            raise ValueError(
+                f"per-phase timing needs a phase-split backend; {backend!r} is "
+                "fused (sorted/tiled/pallas run all phases in one program) — "
+                "use backend='dense' for the timing overlay"
+            )
         self._p2g_1 = jax.jit(lambda p: ops.p2g_1(p, cfg, domain))
         self._p2g_2 = jax.jit(lambda p, g: ops.p2g_2(p, g, cfg, domain))
         self._update = jax.jit(lambda g: ops.grid_update(g, cfg))

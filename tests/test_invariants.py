@@ -60,3 +60,43 @@ def test_density_approaches_rest_density():
         p = step.frame(p, cfg, dom, *step.no_mouse())
     mean_rho = float(p.density.mean())
     assert 0.5 * cfg.rest_density < mean_rho < 1.5 * cfg.rest_density
+
+
+def test_tight_domain_identical_physics():
+    # A tight halo (domain.make_domain(halo_cells=4)) must give the exact
+    # same trajectory as the reference chunk-padded domain: clamped
+    # particles' stencils never reach beyond 1 halo cell.
+    from fluid_tpu.domain import make_domain
+
+    cfg = default_3d()
+    p, dom_ref = scene.dam_break(jax.random.key(3), cfg, n=512)
+    dom_tight = make_domain(cfg, halo_cells=4)
+    assert dom_tight.shape == (72, 72, 72)
+    a = step.frame(jax.tree.map(jnp.copy, p), cfg, dom_ref, *step.no_mouse())
+    b = step.frame(p, cfg, dom_tight, *step.no_mouse())
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
+
+
+def test_diagnostics_metrics():
+    from fluid_tpu import diagnostics
+
+    cfg = default_2d()
+    p, dom = scene.dam_break(jax.random.key(4), cfg, n=256)
+    p = step.frame(p, cfg, dom, *step.no_mouse())
+    m = diagnostics.metrics(p)
+    assert float(m["total_mass"]) == 256.0
+    assert float(m["max_speed"]) >= float(m["mean_speed"]) >= 0.0
+    assert float(m["kinetic_energy"]) > 0.0
+    assert np.isfinite(float(m["mean_density"]))
+    assert "KE=" in diagnostics.format_metrics(m)
+
+
+def test_add_particles():
+    cfg = default_2d()
+    p, dom = scene.dam_break(jax.random.key(5), cfg, n=128)
+    p2 = scene.add_particles(p, jnp.asarray([[10.0, 10.0], [50.0, 50.0]]))
+    assert p2.n == 130
+    assert float(p2.mass.sum()) == 130.0
+    out = step.frame(p2, cfg, dom, *step.no_mouse())
+    assert np.isfinite(np.asarray(out.pos)).all()
