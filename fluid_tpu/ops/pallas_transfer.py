@@ -127,6 +127,32 @@ def _tile_origin_axis(tid, d: int, tshape, origin, T: int):
     coord = (tid // div) % tshape[d]
     return origin[d] + coord * T
 
+
+
+def _pipelined_load(stream_ref, part_ref, sem, start_ref, cap):
+    """Double-buffered stream DMA across grid steps: issue tile t+1's copy
+    before waiting on tile t's (scratch persists across grid iterations)."""
+    t = pl.program_id(0)
+    nT = pl.num_programs(0)
+
+    def dma(i, slot):
+        return pltpu.make_async_copy(
+            stream_ref.at[pl.ds(start_ref[i], cap), :],
+            part_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < nT)
+    def _():
+        dma(t + 1, (t + 1) % 2).start()
+
+    dma(t, t % 2).wait()
+    return part_ref[t % 2]
+
 # ---------------------------------------------------------------------------
 # Deposit kernel (P2G scatter replacement)
 # ---------------------------------------------------------------------------
@@ -153,10 +179,7 @@ def _deposit_kernel(
     start = start_ref[t]
     count = count_ref[t]
 
-    copy = pltpu.make_async_copy(stream_ref.at[pl.ds(start, cap), :], part_ref, sem)
-    copy.start()
-    copy.wait()
-    pm = part_ref[...].T  # [FPI, cap] — slots on lanes
+    pm = _pipelined_load(stream_ref, part_ref, sem, start_ref, cap).T  # [FPI, cap]
 
     valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < count
     pos_row0 = 0 if mode == "p2g1" else D + D * D
@@ -227,8 +250,8 @@ def deposit(
             (1, E**D, CH), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((cap, FPI), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, cap, FPI), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
@@ -270,10 +293,7 @@ def _collect_kernel(
     start = start_ref[t]
     count = count_ref[t]
 
-    copy = pltpu.make_async_copy(stream_ref.at[pl.ds(start, cap), :], part_ref, sem_in)
-    copy.start()
-    copy.wait()
-    pm = part_ref[...].T  # [FPI, cap]
+    pm = _pipelined_load(stream_ref, part_ref, sem_in, start_ref, cap).T  # [FPI, cap]
 
     valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < count
 
@@ -385,8 +405,8 @@ def collect(
             (1, FO, cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((cap, FPI), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, cap, FPI), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
@@ -427,10 +447,7 @@ def _p2g2_kernel(
     start = start_ref[t]
     count = count_ref[t]
 
-    copy = pltpu.make_async_copy(stream_ref.at[pl.ds(start, cap), :], part_ref, sem_in)
-    copy.start()
-    copy.wait()
-    pm = part_ref[...].T  # [FPI, cap]
+    pm = _pipelined_load(stream_ref, part_ref, sem_in, start_ref, cap).T  # [FPI, cap]
 
     valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < count
 
@@ -516,8 +533,8 @@ def p2g2(
             (1, E**D, D), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((cap, FPI), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, cap, FPI), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
