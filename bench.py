@@ -82,7 +82,9 @@ def _tiled_spec(cfg, dom, n):
     T = 4
     per_tile = cfg.rest_density * T**cfg.dim
     cap = max(32, -(-int(per_tile * 2.0) // 32) * 32)
-    occupied = max(64, int(n / max(per_tile, 1.0) * 1.8))
+    # rest-density scenes occupy ~n/per_tile tiles + a surface layer; 1.25x
+    # covers splash spreading (overflow just freezes particles, counted)
+    occupied = max(64, int(n / max(per_tile, 1.0) * 1.25))
     active = min(-(-occupied // 64) * 64, math.prod(s // T for s in dom.shape))
     return tt.TileSpec(tile=T, cap=cap, active=active)
 

@@ -134,7 +134,11 @@ def run(
 
     viewport = render_mod.DEFAULT_VIEWPORT
     console = render_mod.DEFAULT_CONSOLE
-    timer = PhaseTimer(cfg, dom, backend=backend) if timing else None
+    timer = None
+    if timing:
+        # fused backends have no host-visible phase boundaries; the overlay
+        # always times the phase-split dense pipeline
+        timer = PhaseTimer(cfg, dom, backend="dense")
 
     ev_q: "queue.Queue" = queue.Queue(maxsize=1)
     stop = threading.Event()
