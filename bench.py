@@ -108,7 +108,9 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
 
             sub = lambda s: pt.substep(s, cfg, dom, mp, ma, spec)[0]
         else:
-            sub = lambda s: tt.substep(s, cfg, dom, mp, ma, spec)[0]
+            sub = lambda s: tt.substep(
+                s, cfg, dom, mp, ma, spec, preserve_order=False
+            )[0]
 
         def frame_fn(q):
             return jax.lax.fori_loop(0, cfg.iterations, lambda _, s: sub(s), q)

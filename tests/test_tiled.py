@@ -112,3 +112,23 @@ def test_active_budget_compaction():
     c, _ = jax.jit(lambda q: tt.substep(q, cfg, dom, mp, ma, spec))(p)
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(c.pos), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(c.vel), atol=1e-5)
+
+
+def test_preserve_order_false_same_physics():
+    # sorted-order output must be a permutation of the order-preserving output
+    cfg, p, dom = _small_case(2, 384, seed=6)
+    spec = tt.TileSpec(tile=4, cap=64)
+    mp, ma = step.no_mouse()
+    a, _ = jax.jit(lambda q: tt.substep(q, cfg, dom, mp, ma, spec))(p)
+    b, _ = jax.jit(
+        lambda q: tt.substep(q, cfg, dom, mp, ma, spec, preserve_order=False)
+    )(p)
+    ka = np.lexsort(np.asarray(a.pos).T)
+    kb = np.lexsort(np.asarray(b.pos).T)
+    np.testing.assert_allclose(
+        np.asarray(a.pos)[ka], np.asarray(b.pos)[kb], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.vel)[ka], np.asarray(b.vel)[kb], atol=1e-6
+    )
+    assert float(b.mass.sum()) == p.n
