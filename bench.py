@@ -86,7 +86,8 @@ def _tiled_spec(cfg, dom, n):
     # covers splash spreading (overflow just freezes particles, counted)
     occupied = max(64, int(n / max(per_tile, 1.0) * 1.25))
     active = min(-(-occupied // 64) * 64, math.prod(s // T for s in dom.shape))
-    return tt.TileSpec(tile=T, cap=cap, active=active)
+    # bench verifies overflow==0 up front, so strict mode is safe
+    return tt.TileSpec(tile=T, cap=cap, active=active, strict=True)
 
 
 def _bench_frame(cfg, p, dom, frames, backend, batch=None):

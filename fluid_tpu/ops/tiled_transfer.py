@@ -57,6 +57,10 @@ class TileSpec:
     tile: int = 4  # cells per tile edge
     cap: int = 256  # particle slots per tile
     active: Optional[int] = None  # occupied-tile budget (None = all tiles)
+    # strict=True skips the frozen-fallback machinery (one [N]-row gather per
+    # substep) by ASSERTING overflow never happens — verify with
+    # overflow_count first; overflowing particles would get wrong state.
+    strict: bool = False
 
 
 def default_spec(cfg: Config, n_particles: Optional[int] = None) -> TileSpec:
@@ -485,13 +489,14 @@ def substep(
     slot = jnp.clip(occ_rank, 0, A - 1) * cap + jnp.clip(s_rank, 0, cap - 1)
     sorted_out = jnp.take(out_flat, slot, axis=0)  # [N, FO] packed gather
 
-    fallback = jnp.concatenate(
-        [p.pos, p.vel, p.C.reshape(n, D * D), p.density[:, None],
-         p.pressure[:, None], p.mass[:, None]],
-        axis=1,
-    )
-    fb_sorted = jnp.take(fallback, b["order"], axis=0)
-    sorted_out = jnp.where(b["frozen"][:, None], fb_sorted, sorted_out)
+    if not spec.strict:
+        fallback = jnp.concatenate(
+            [p.pos, p.vel, p.C.reshape(n, D * D), p.density[:, None],
+             p.pressure[:, None], p.mass[:, None]],
+            axis=1,
+        )
+        fb_sorted = jnp.take(fallback, b["order"], axis=0)
+        sorted_out = jnp.where(b["frozen"][:, None], fb_sorted, sorted_out)
 
     if preserve_order:
         unpacked = jnp.zeros_like(sorted_out)

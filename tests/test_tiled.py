@@ -132,3 +132,14 @@ def test_preserve_order_false_same_physics():
         np.asarray(a.vel)[ka], np.asarray(b.vel)[kb], atol=1e-6
     )
     assert float(b.mass.sum()) == p.n
+
+
+def test_strict_mode_matches_when_no_overflow():
+    cfg, p, dom = _small_case(2, 384, seed=7)
+    spec = tt.TileSpec(tile=4, cap=64, strict=True)
+    assert int(tt.overflow_count(p.pos, dom, spec)) == 0
+    mp, ma = step.no_mouse()
+    a, _ = jax.jit(lambda q: tt.substep(q, cfg, dom, mp, ma, tt.TileSpec(tile=4, cap=64)))(p)
+    b, _ = jax.jit(lambda q: tt.substep(q, cfg, dom, mp, ma, spec))(p)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
