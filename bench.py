@@ -107,7 +107,9 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
         if backend == "pallas":
             from fluid_tpu.ops import pallas_transfer as pt
 
-            sub = lambda s: pt.substep(s, cfg, dom, mp, ma, spec)[0]
+            sub = lambda s: pt.substep(
+                s, cfg, dom, mp, ma, spec, preserve_order=False
+            )[0]
         else:
             sub = lambda s: tt.substep(
                 s, cfg, dom, mp, ma, spec, preserve_order=False

@@ -362,7 +362,8 @@ def _collect_kernel(
         newpos[d] = p_cl
         vel[d] = v
 
-    rows = newpos + vel + newC + [rho, pressure]
+    mass = pm[2 * D + D * D, :]
+    rows = newpos + vel + newC + [rho, pressure, mass]
     out = _rows(rows)  # [FO, cap]
     out_ref[0] = jnp.where(valid[None, :], out, 0.0)
 
@@ -386,7 +387,7 @@ def collect(
     """All active tiles -> slot-major outputs [A, FO, cap]."""
     A = act_start.shape[0]
     E = T + 2
-    FO = 2 * D + D * D + 2
+    FO = 2 * D + D * D + 3
     FPI = stream.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -561,6 +562,7 @@ def substep(
     mouse_active,
     spec=None,
     interpret: bool = False,
+    preserve_order: bool = True,
 ):
     """One MLS-MPM substep: Pallas deposit/p2g2/collect kernels over the
     tile-binned sorted stream, with XLA doing sort/offsets, halo summation
@@ -670,7 +672,7 @@ def substep(
         tshape, origin_static,
         D=D, T=T, cap=cap, interpret=interpret,
     )  # [A, FO, cap]
-    FO = out_slots.shape[1]
+    FO = out_slots.shape[1]  # pos, vel, C, rho, pressure, mass
 
     # ---- un-bin (slot-major -> original particle order) -------------------
     out_flat = jnp.swapaxes(out_slots, 1, 2).reshape(A * cap, FO)
@@ -683,25 +685,32 @@ def substep(
     slot = jnp.clip(occ_rank, 0, A - 1) * cap + jnp.clip(s_rank, 0, cap - 1)
     sorted_out = jnp.take(out_flat, slot, axis=0)
 
-    fallback = jnp.concatenate(
-        [p.pos, p.vel, p.C.reshape(n, D * D), p.density[:, None], p.pressure[:, None]],
-        axis=1,
-    )
-    fb_sorted = jnp.take(fallback, b["order"], axis=0)
-    sorted_out = jnp.where(b["frozen"][:, None], fb_sorted, sorted_out)
+    if not spec.strict:
+        fallback = jnp.concatenate(
+            [p.pos, p.vel, p.C.reshape(n, D * D), p.density[:, None],
+             p.pressure[:, None], p.mass[:, None]],
+            axis=1,
+        )
+        fb_sorted = jnp.take(fallback, b["order"], axis=0)
+        sorted_out = jnp.where(b["frozen"][:, None], fb_sorted, sorted_out)
 
-    unpacked = jnp.zeros_like(sorted_out)
-    unpacked = unpacked.at[b["order"]].set(
-        sorted_out, mode="promise_in_bounds", unique_indices=True
-    )
+    if preserve_order:
+        unpacked = jnp.zeros_like(sorted_out)
+        unpacked = unpacked.at[b["order"]].set(
+            sorted_out, mode="promise_in_bounds", unique_indices=True
+        )
+        mass_out = p.mass
+    else:
+        unpacked = sorted_out
+        mass_out = unpacked[:, FO - 1]
 
     out = ParticleState(
         pos=unpacked[:, 0:D],
         vel=unpacked[:, D : 2 * D],
         C=unpacked[:, 2 * D : 2 * D + D * D].reshape(n, D, D),
-        mass=p.mass,
-        density=unpacked[:, FO - 2],
-        pressure=unpacked[:, FO - 1],
+        mass=mass_out,
+        density=unpacked[:, FO - 3],
+        pressure=unpacked[:, FO - 2],
     )
 
     # Dense GridState (XLA dead-code-eliminates it when discarded)

@@ -68,3 +68,17 @@ def test_pallas_multi_substep():
         b, _ = pt.substep(b, cfg, dom, mp, ma, spec, interpret=True)
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-4)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-4)
+
+
+def test_pallas_preserve_order_false_strict():
+    cfg, p, dom = _case(2, 384, seed=3)
+    spec = tt.TileSpec(tile=4, cap=64, strict=True)
+    assert int(tt.overflow_count(p.pos, dom, spec)) == 0
+    mp, ma = step.no_mouse()
+    a, _ = step.substep(p, cfg, dom, mp, ma, backend="dense")
+    b, _ = pt.substep(p, cfg, dom, mp, ma, spec, interpret=True, preserve_order=False)
+    ka = np.lexsort(np.asarray(a.pos).T)
+    kb = np.lexsort(np.asarray(b.pos).T)
+    np.testing.assert_allclose(np.asarray(a.pos)[ka], np.asarray(b.pos)[kb], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.vel)[ka], np.asarray(b.vel)[kb], atol=1e-5)
+    assert float(b.mass.sum()) == p.n
