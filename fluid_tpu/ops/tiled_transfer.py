@@ -49,7 +49,7 @@ from ..config import Config
 from ..domain import Domain
 from ..state import GridState, ParticleState
 from .eos import tait_pressure
-from .tiling import assemble, edge_mask, extract, halo_sum
+from .tiling import assemble, edge_mask, halo_sum
 
 
 @dataclasses.dataclass(frozen=True)
