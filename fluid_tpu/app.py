@@ -38,7 +38,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import render as render_mod
 from . import scene, step
@@ -206,7 +205,9 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--frames", type=int, default=None, help="stop after N frames")
     ap.add_argument("--headless", action="store_true", help="no TTY; print frames")
-    ap.add_argument("--backend", default="dense", choices=("dense", "sorted", "pallas"))
+    ap.add_argument(
+        "--backend", default="dense", choices=("dense", "sorted", "tiled", "pallas")
+    )
     ap.add_argument("--timing", action="store_true", help="per-phase timing overlay")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     args = ap.parse_args(argv)

@@ -14,7 +14,6 @@ Build: ``make -C native`` (g++, no external deps).
 from __future__ import annotations
 
 import ctypes
-import math
 from pathlib import Path
 from typing import Optional, Tuple
 

@@ -567,8 +567,6 @@ def substep(
     tile-binned sorted stream, with XLA doing sort/offsets, halo summation
     and grid update.  Drop-in equivalent of the dense/sorted/tiled backends
     (same physics incl. quirks Q2/Q3)."""
-    import math as _math
-
     from ..state import GridState, ParticleState
     from . import tiled_transfer as tt
     from .tiling import assemble, edge_mask, halo_sum

@@ -14,7 +14,6 @@ fused ``step.frame``.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import List, Tuple
 
 import jax
