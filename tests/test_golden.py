@@ -94,3 +94,19 @@ def test_frame_equals_manual_substeps():
     )
     np.testing.assert_array_equal(np.asarray(got.pos), np.asarray(framed.pos))
     np.testing.assert_array_equal(np.asarray(got.vel), np.asarray(framed.vel))
+
+
+@pytest.mark.parametrize("name,make", [("golden_2d", default_2d), ("golden_3d", default_3d)])
+def test_frozen_golden_fixture(name, make):
+    """Frozen .npz golden trajectories (SURVEY.md §4.2) — regression-stable
+    across refactors, independent of the live oracle."""
+    import pathlib
+
+    z = np.load(pathlib.Path(__file__).parent / "data" / f"{name}.npz")
+    cfg = make()
+    got = _run_jax(cfg, z["pos0"], z["vel0"], z["C0"], int(z["substeps"]))
+    np.testing.assert_allclose(np.asarray(got.pos), z["pos"], atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.vel), z["vel"], atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.C), z["C"], atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.density), z["density"], atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.pressure), z["pressure"], atol=1e-3, rtol=0)
