@@ -136,6 +136,25 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
     jax.block_until_ready(p)
     dt = time.perf_counter() - t0
     float(p.pos.ravel()[0])
+
+    # ---- self-validation: a strict-mode overflow or a NaN mid-run must fail
+    # the bench loudly instead of corrupting the reported number.
+    import jax.numpy as jnp
+
+    finite = bool(jnp.isfinite(p.pos).all()) and bool(jnp.isfinite(p.vel).all())
+    if not finite:
+        raise RuntimeError("bench produced non-finite state — timing invalid")
+    if backend in ("tiled", "pallas"):
+        if batch:
+            over = max(int(tt.overflow_count(p.pos[i], dom, spec)) for i in range(batch))
+        else:
+            over = int(tt.overflow_count(p.pos, dom, spec))
+        if over:
+            raise RuntimeError(
+                f"tile overflow after timed run: {over} particles would have "
+                f"frozen in strict mode — capacity spec invalid for this scene"
+            )
+
     per_frame = dt / frames
     total = n * (batch or 1) * cfg.iterations * frames
     return total / dt, per_frame

@@ -135,9 +135,10 @@ def run(
     console = render_mod.DEFAULT_CONSOLE
     timer = None
     if timing:
-        # fused backends have no host-visible phase boundaries; the overlay
-        # always times the phase-split dense pipeline
-        timer = PhaseTimer(cfg, dom, backend="dense")
+        # the overlay always times the REQUESTED backend: dense gets the
+        # reference's per-phase split (2d_multi.rs:479-487), fused backends
+        # get honest per-substep timing of their own code path
+        timer = PhaseTimer(cfg, dom, backend=backend)
 
     ev_q: "queue.Queue" = queue.Queue(maxsize=1)
     stop = threading.Event()

@@ -32,11 +32,15 @@ class PhaseTimer:
         self.domain = domain
         ops = _get_backend(backend)
         if not hasattr(ops, "p2g_1"):
-            raise ValueError(
-                f"per-phase timing needs a phase-split backend; {backend!r} is "
-                "fused (sorted/tiled/pallas run all phases in one program) — "
-                "use backend='dense' for the timing overlay"
+            # Fused backend (sorted/tiled/pallas): all phases run in one XLA
+            # program, so the honest granularity is the whole substep.  The
+            # simulation ALWAYS runs the requested backend — timing must never
+            # change what is being simulated.
+            self._fused = jax.jit(
+                lambda p, mp, ma: ops.substep(p, cfg, domain, mp, ma)[0]
             )
+            return
+        self._fused = None
         self._p2g_1 = jax.jit(lambda p: ops.p2g_1(p, cfg, domain))
         self._p2g_2 = jax.jit(lambda p, g: ops.p2g_2(p, g, cfg, domain))
         self._update = jax.jit(lambda g: ops.grid_update(g, cfg))
@@ -50,6 +54,13 @@ class PhaseTimer:
         self, p: ParticleState, mouse_pos, mouse_active
     ) -> Tuple[ParticleState, List[Tuple[str, float]]]:
         times: List[Tuple[str, float]] = []
+        if self._fused is not None:
+            for _ in range(self.cfg.iterations):
+                times.clear()
+                t0 = time.perf_counter()
+                p = jax.block_until_ready(self._fused(p, mouse_pos, mouse_active))
+                times.append(("substep", time.perf_counter() - t0))
+            return p, times
         for _ in range(self.cfg.iterations):
             times.clear()  # keep only the last substep (2d_multi.rs:112)
 
