@@ -249,6 +249,21 @@ def _first_k_slots(mask: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]
 
 
 def _migrate(lp: LocalParticles, cfg: Config, spec: ShardSpec, my) -> LocalParticles:
+    """Lossless migration with receiver backpressure.
+
+    The reference never deletes particles (quirk Q6, ``2d_multi.rs:302-306``,
+    327-358), so neither may the sharded path — even when ``migrate_cap`` or
+    the receiver's free slots are exhausted.  Protocol per substep:
+
+    1. each device advertises to each neighbor how many immigrants it can
+       accept this substep (its free slots, split between the two directions
+       — one scalar ``ppermute`` each way);
+    2. senders extract at most ``min(migrate_cap, budget)`` emigrants per
+       direction; the REST STAY ALIVE at the sender (their stencil taps
+       beyond the local halo are dropped for the substeps they wait — a
+       bounded, conservative degradation instead of deletion);
+    3. receivers place arrivals into free slots — guaranteed to fit by (1).
+    """
     dom, slab, s, cap, mcap = (
         spec.domain,
         spec.slab,
@@ -264,10 +279,21 @@ def _migrate(lp: LocalParticles, cfg: Config, spec: ShardSpec, my) -> LocalParti
     alive = lp.alive
     arrays = _tree_arrays(lp)
 
-    def extract(mask):
+    # ---- 1. budget exchange ----------------------------------------------
+    free_total = (cap - alive.sum()).astype(jnp.int32)
+    budget_for_left_nbr = free_total // 2  # quota for arrivals from the left
+    budget_for_right_nbr = free_total - free_total // 2
+    # send each quota to the neighbor it applies to; senders receive the
+    # budget their own emigrants are subject to (edge devices get 0 from the
+    # non-circular ppermute — nothing to send off-grid anyway)
+    budget_r = lax.ppermute(budget_for_left_nbr, AXIS, _perm_left(s))
+    budget_l = lax.ppermute(budget_for_right_nbr, AXIS, _perm_right(s))
+
+    def extract(mask, budget):
         sel, sel_valid = _first_k_slots(mask, mcap)
+        rank = jnp.arange(mcap, dtype=jnp.int32)
+        sel_valid = sel_valid & (rank < budget)  # backpressure: defer the rest
         em = tuple(jnp.take(a, sel, axis=0) for a in arrays)
-        # zero invalid emigrant slots so receivers can mask by mass>0-free uid
         em = tuple(
             jnp.where(
                 sel_valid.reshape((mcap,) + (1,) * (a.ndim - 1)), a, jnp.zeros_like(a)
@@ -276,9 +302,9 @@ def _migrate(lp: LocalParticles, cfg: Config, spec: ShardSpec, my) -> LocalParti
         )
         return sel, sel_valid, em
 
-    sel_l, val_l, em_l = extract(go_left)
-    sel_r, val_r, em_r = extract(go_right)
-    # mark extracted slots dead
+    # ---- 2. bounded extraction (deferred emigrants stay alive) ------------
+    sel_l, val_l, em_l = extract(go_left, budget_l)
+    sel_r, val_r, em_r = extract(go_right, budget_r)
     alive = alive.at[sel_l].set(alive[sel_l] & ~val_l)
     alive = alive.at[sel_r].set(alive[sel_r] & ~val_r)
 
@@ -290,11 +316,16 @@ def _migrate(lp: LocalParticles, cfg: Config, spec: ShardSpec, my) -> LocalParti
     im_r, imv_r = recv_from_right[:-1], recv_from_right[-1]
     im_l, imv_l = recv_from_left[:-1], recv_from_left[-1]
 
-    # place immigrants into free slots (left immigrants first, then right)
+    # ---- 3. placement (arrivals <= advertised budgets <= free slots) ------
+    # left immigrants take the first free slots, right immigrants the next
+    # ones after them (compacted, so both directions share the free pool)
     free, free_valid = _first_k_slots(~alive, 2 * mcap)
-    slots_l, slots_r = free[:mcap], free[mcap:]
+    n_l = imv_l.sum().astype(jnp.int32)
+    slots_l = free[:mcap]
+    idx_r = jnp.clip(n_l + jnp.arange(mcap, dtype=jnp.int32), 0, 2 * mcap - 1)
+    slots_r = jnp.take(free, idx_r)
     ok_l = imv_l & free_valid[:mcap]
-    ok_r = imv_r & free_valid[mcap:]
+    ok_r = imv_r & jnp.take(free_valid, idx_r)
 
     new_arrays = []
     for a, il, ir in zip(arrays, im_l, im_r):

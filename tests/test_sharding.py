@@ -82,3 +82,52 @@ def test_sharded_full_frame_close_to_dense():
     got = shard.gather_particles(lp, n)
     want = step.frame(p, cfg, dom, mp, ma)
     np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos), atol=1e-3)
+
+
+def test_migration_lossless_under_pressure():
+    """Deliberately overloaded spec: tiny migrate_cap and near-full capacity.
+
+    Forces BOTH exhaustion paths (migrate_cap saturation and receiver-slot
+    scarcity); the budget/backpressure protocol must defer emigrants, never
+    delete them (quirk Q6, 2d_multi.rs:302-306)."""
+    cfg = default_2d()
+    n = 512
+    p, dom = scene.dam_break(jax.random.key(3), cfg, n=n)
+    mesh = _mesh(8)
+
+    # capacity = tightest that admits the initial (concentrated) layout
+    pos = np.asarray(p.pos)
+    base = shard.default_spec(dom, 8, n)
+    cx = np.floor(pos[:, 0]).astype(np.int64) - dom.origin[0]
+    owner = np.clip(cx // base.slab, 0, 7)
+    occ = np.bincount(owner, minlength=8).max()
+    spec = shard.ShardSpec(domain=dom, n_shards=8, capacity=int(occ) + 8, migrate_cap=2)
+
+    # slam the fluid sideways so many particles cross slab boundaries at once
+    # (saturates migrate_cap=2 immediately)
+    import dataclasses as _dc
+
+    vel = np.zeros_like(pos)
+    vel[: n // 2, 0] = 30.0
+    vel[n // 2 :, 0] = -30.0
+    p = _dc.replace(p, vel=jnp.asarray(vel))
+
+    lp = shard.shard_particles(p, spec, mesh)
+    mp, ma = step.no_mouse()
+    deferred_seen = 0
+    for _ in range(8):
+        # single substeps so per-substep backpressure is observable
+        lp = shard.sharded_frame(lp, cfg, spec, mesh, mp, ma, substeps=1)
+        alive = np.asarray(lp.alive)
+        uid = np.asarray(lp.uid)[alive]
+        # lossless: every particle alive exactly once, finite state
+        assert len(uid) == n and len(np.unique(uid)) == n
+        ppos = np.asarray(lp.p.pos)[alive]
+        assert np.isfinite(ppos).all()
+        # count deferred residents (cell outside the owning device's slab)
+        slot = np.nonzero(alive)[0]
+        dev = slot // spec.capacity
+        cxs = np.floor(np.asarray(lp.p.pos)[alive][:, 0]).astype(np.int64) - dom.origin[0]
+        deferred_seen += int(((cxs // spec.slab) != dev).sum())
+    # the overloaded spec must actually exercise backpressure at least once
+    assert deferred_seen > 0
