@@ -110,3 +110,21 @@ def test_frozen_golden_fixture(name, make):
     np.testing.assert_allclose(np.asarray(got.C), z["C"], atol=1e-3, rtol=0)
     np.testing.assert_allclose(np.asarray(got.density), z["density"], atol=1e-3, rtol=0)
     np.testing.assert_allclose(np.asarray(got.pressure), z["pressure"], atol=1e-3, rtol=0)
+
+
+@pytest.mark.parametrize(
+    "name,make", [("golden_2d_100", default_2d), ("golden_3d_100", default_3d)]
+)
+def test_long_horizon_golden(name, make):
+    """SURVEY.md §7.3-4: the 1e-3 tolerance must hold over >= 100 substeps —
+    f32 reduction-order drift GROWS with horizon, so one frame is not enough.
+    Fixtures frozen from the oracle by tests/gen_golden.py (seed 13)."""
+    import pathlib
+
+    z = np.load(pathlib.Path(__file__).parent / "data" / f"{name}.npz")
+    cfg = make()
+    got = _run_jax(cfg, z["pos0"], z["vel0"], z["C0"], int(z["substeps"]))
+    np.testing.assert_allclose(np.asarray(got.pos), z["pos"], atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.vel), z["vel"], atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.density), z["density"], atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.pressure), z["pressure"], atol=1e-3, rtol=0)

@@ -22,7 +22,8 @@ def _small_case(dim, n, seed):
         boundary_clip=(tuple(0.0 for _ in range(dim)), tuple(32.0 for _ in range(dim))),
         grid_res=16,
     )
-    dom = make_domain(cfg)
+    # tight halo: identical physics, far fewer tiles (fast CPU compiles)
+    dom = make_domain(cfg, halo_cells=4)
     key = jax.random.key(seed)
     k1, k2, k3 = jax.random.split(key, 3)
     pos = jax.random.uniform(k1, (n, dim), jnp.float32, 8.0, 24.0)
