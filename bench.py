@@ -90,6 +90,18 @@ def _tiled_spec(cfg, dom, n):
     return tt.TileSpec(tile=T, cap=cap, active=active, strict=True)
 
 
+def _stream_spec(cfg, dom, n):
+    from fluid_tpu.ops import stream_transfer as stx
+
+    T = 4
+    per_tile = cfg.rest_density * T**cfg.dim
+    occupied = max(8, int(n / max(per_tile, 1.0) * 1.25))
+    nt = math.prod(s // T for s in dom.shape)
+    return stx.StreamSpec(
+        tile=T, cap=128, halo=2, group=8, active=min(occupied, nt)
+    )
+
+
 def _bench_frame(cfg, p, dom, frames, backend, batch=None):
     import jax
 
@@ -99,7 +111,18 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
     mp, ma = step.no_mouse()
     n = p.pos.shape[-2]
 
-    if backend in ("tiled", "pallas"):
+    if backend == "stream":
+        from fluid_tpu.ops import stream_transfer as stx
+
+        spec = _stream_spec(cfg, dom, n)
+        over = int(stx.overflow_count(p.pos[0] if batch else p.pos, dom, spec))
+        if over:
+            print(f"# stream spec overflow at t=0: {over}", file=sys.stderr)
+
+        def frame_fn(q):
+            return stx.frame(q, cfg, dom, mp, ma, spec)
+
+    elif backend in ("tiled", "pallas"):
         spec = _tiled_spec(cfg, dom, n)
         over = int(tt.overflow_count(p.pos[0] if batch else p.pos, dom, spec))
         if over:
@@ -144,16 +167,25 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
     finite = bool(jnp.isfinite(p.pos).all()) and bool(jnp.isfinite(p.vel).all())
     if not finite:
         raise RuntimeError("bench produced non-finite state — timing invalid")
-    if backend in ("tiled", "pallas"):
+    over = 0
+    if backend == "stream":
+        from fluid_tpu.ops import stream_transfer as stx
+
+        if batch:
+            over = max(int(stx.overflow_count(p.pos[i], dom, spec)) for i in range(batch))
+        else:
+            over = int(stx.overflow_count(p.pos, dom, spec))
+    elif backend in ("tiled", "pallas"):
         if batch:
             over = max(int(tt.overflow_count(p.pos[i], dom, spec)) for i in range(batch))
         else:
             over = int(tt.overflow_count(p.pos, dom, spec))
-        if over:
-            raise RuntimeError(
-                f"tile overflow after timed run: {over} particles would have "
-                f"frozen in strict mode — capacity spec invalid for this scene"
-            )
+    if over:
+        raise RuntimeError(
+            f"tile overflow after timed run: {over} particles would have "
+            f"frozen/overflowed in strict mode — capacity spec invalid for "
+            f"this scene"
+        )
 
     per_frame = dt / frames
     total = n * (batch or 1) * cfg.iterations * frames
@@ -165,7 +197,7 @@ CONFIGS = {
     "2d-ref": (2, 4096, 20, None, "2d_reference_frame", ("dense", "sorted", "tiled")),
     "3d-ref": (3, 4096, 10, None, "3d_reference_frame", ("dense", "sorted", "tiled")),
     "2d-100k": (2, 100_000, 5, None, "2d_100k", ("tiled", "sorted")),
-    "3d-1m": (3, 1_000_000, 3, None, "3d_1m", ("tiled", "pallas")),
+    "3d-1m": (3, 1_000_000, 3, None, "3d_1m", ("stream", "tiled", "pallas")),
     "batch-64": (3, 4096, 3, 64, "3d_reference_frame", ("tiled", "sorted")),
 }
 
@@ -211,7 +243,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="3d-1m", choices=[*CONFIGS, "all"])
     ap.add_argument(
-        "--backend", default="auto", choices=("auto", "dense", "sorted", "tiled", "pallas")
+        "--backend", default="auto",
+        choices=("auto", "dense", "sorted", "tiled", "pallas", "stream")
     )
     ap.add_argument("--platform", default=None, choices=(None, "cpu", "tpu"))
     ap.add_argument("--quick", action="store_true")

@@ -1,0 +1,952 @@
+"""Stream transfer — persistent grouped slot-major Pallas kernels (round 2).
+
+The round-1 hot paths (ops/tiled_transfer.py pure-XLA, ops/pallas_transfer.py
+per-tile kernels) were re-measured on TPU v5e (bench/micro_kernels.py) and
+their remaining costs are dominated by:
+
+  * per-substep re-binning (argsort ~10ms + packed gather ~47ms + un-bin
+    ~15ms at 1M particles) — paid 31x per frame;
+  * per-program kernel dispatch (~550 ns/tile) and per-HBM-row DMA (~25
+    ns/row): a [E^3, 4] output block decomposes into 1728 16-byte rows per
+    8-tile program, while a [18, 8*128] block is 18 fat rows.
+
+This backend removes both:
+
+1. **Persistent slot-major stream.**  Particle state lives in HBM as
+   ``stream [NG, F, G*cap]`` — G tiles per group, tile j of a group owning
+   lanes ``[j*cap, (j+1)*cap)``, fields as rows (F = 19: pos D, vel D, C D*D,
+   mass, id, rho, prs).  Every kernel block is a handful of >=4KB rows, and
+   per-tile lane slices are 128-aligned (cap = 128).  The binning PERSISTS
+   across substeps: kernels re-derive each particle's cell from its current
+   position every substep, and the expanded window E = T + 2h with h = 2
+   stays valid until a particle drifts more than h-1 cells outside its bin
+   tile.  A cheap XLA check triggers re-binning via ``lax.cond`` only when
+   needed (at rest-density scenes: every ~10-30 substeps instead of every
+   substep).
+
+2. **One-window kernels.**  The APIC moment windows obey
+   ``Wv[d] = W0 * (e_d - lc_d - 1)`` (e_d = window coordinate, lc_d = local
+   cell), so the 1+D variant matmuls collapse into ONE matmul plus per-lane
+   fixups on the output:
+
+     deposit:  block = W0 @ (V0 - sum_d (lc_d+1) V_d)  +  sum_d e_d (W0 @ V_d)
+     collect:  M_d   = W0^T @ (e_d * blk) - (lc_d+1) * (W0^T @ blk)
+
+   Deposits use the A@B^T form ``Ucat [C, cap] x W0 [E^D, cap] -> [C, E^D]``
+   (transposed output = fat rows); collects use ``Bcat [C', E^D] x W0 -> [C',
+   cap]`` — both MXU-native, no in-kernel relayouts (measured: deposit 391
+   ns/tile, collect 422 ns/tile at E=6; E=8 costs +15%/+1%).
+
+Physics is identical to ops/transfer.py (p2g_1 2d_multi.rs:148-180, p2g_2
+:182-238, update :240-250, g2p :252-359, quirks Q2/Q3 included); only the
+data movement differs.  Equivalence is tested against the dense backend
+(tests/test_stream.py).
+
+Strictness contract: like the tiled backend's ``strict=True`` — the caller
+sizes ``cap``/``active`` so no tile overflows (``overflow_count`` checks, and
+``frame_binned`` exposes ``sum(count)`` so a mid-run re-bin overflow is
+detectable as a lost particle).  Particle output order is tile-sorted; the
+``id`` row recovers the original order on un-bin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Config
+from ..domain import Domain
+from ..state import GridState, ParticleState
+
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamSpec:
+    """Static layout parameters (hashable => jit-static)."""
+
+    tile: int = 4  # T: cells per tile edge
+    cap: int = 128  # particle slots per tile (lane count — keep 128)
+    halo: int = 2  # h: window reach beyond the tile; E = T + 2h
+    group: int = 8  # G: tiles per kernel program
+    active: int = 64  # A: active-tile budget (rounded up to a group multiple)
+    interpret: bool = False  # run kernels in interpreter mode (CPU tests)
+
+    def __post_init__(self):
+        if self.cap % 128:
+            raise ValueError("cap must be a multiple of 128 (lane alignment)")
+        if self.halo < 1:
+            raise ValueError("halo must cover the stencil radius (>= 1)")
+
+    @property
+    def E(self) -> int:
+        return self.tile + 2 * self.halo
+
+    def EP(self, dim: int) -> int:
+        return _pad128(self.E**dim)
+
+    @property
+    def A(self) -> int:
+        return -(-self.active // self.group) * self.group
+
+    @property
+    def NG(self) -> int:
+        return self.A // self.group
+
+
+def default_spec(cfg: Config, domain: Domain, n: int) -> StreamSpec:
+    """Size the active budget/cap like bench._tiled_spec: rest-density
+    occupancy with splash headroom.  On CPU hosts the kernels run in
+    interpreter mode (tests); real compilation is TPU-only."""
+    T = 4
+    per_tile = cfg.rest_density * T**cfg.dim
+    occupied = max(8, int(n / max(per_tile, 1.0) * 1.25))
+    nt = math.prod(s // T for s in domain.shape)
+    interpret = jax.default_backend() == "cpu"
+    return StreamSpec(
+        tile=T, cap=128, halo=2, group=8, active=min(occupied, nt),
+        interpret=interpret,
+    )
+
+
+# Stream row layout (F rows).
+def _row_layout(D: int):
+    # pos[D], vel[D], C[D*D], mass, id, rho, prs
+    return 2 * D + D * D + 4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StreamState:
+    """Persistent binned particle state (fori_loop carry)."""
+
+    stream: jax.Array  # [NG, F, G*cap] f32
+    count: jax.Array  # [A] i32 — valid slots per active tile (front-packed)
+    tid: jax.Array  # [A] i32 — flat tile id (nt = empty slot-tile)
+
+
+# ---------------------------------------------------------------------------
+# Shared in-kernel pieces
+# ---------------------------------------------------------------------------
+
+
+def _tile_coord(tid, d: int, tshape):
+    div = 1
+    for k in range(d + 1, len(tshape)):
+        div *= tshape[k]
+    return (tid // div) % tshape[d]
+
+
+def _kernel_profiles(pm, tid, T: int, E: int, h: int, tshape, origin, cap: int):
+    """Per-axis plain profiles [E, cap], window-local cell base, dvec.
+
+    Window coordinate e maps to global cell ``tile_origin + e - h``; a
+    particle's stencil occupies rows base..base+2 with base = lc + h - 1
+    (lc = cell - tile_origin, clipped to the drift-tolerant range).
+    """
+    D = len(tshape)
+    plains, bases, dvec = [], [], []
+    for d in range(D):
+        pos_d = pm[d, :]
+        cell = jnp.floor(pos_d)
+        coord = _tile_coord(tid, d, tshape)
+        lc = cell.astype(jnp.int32) - (origin[d] + coord * T)
+        base = jnp.clip(lc + h - 1, 0, E - 3)
+        dv = pos_d - cell - 0.5
+        w = [0.5 * (0.5 - dv) ** 2, 0.75 - dv * dv, 0.5 * (0.5 + dv) ** 2]
+        e_io = lax.broadcasted_iota(jnp.int32, (E, cap), 0)
+        plain = jnp.zeros((E, cap), jnp.float32)
+        for o in range(3):
+            plain = jnp.where(e_io == base[None, :] + o, w[o][None, :], plain)
+        plains.append(plain)
+        bases.append(base)
+        dvec.append(dv)
+    return plains, bases, dvec
+
+
+def _kernel_window(plains, E: int, cap: int, D: int):
+    """W0 [E^D, cap] tensor product."""
+    if D == 2:
+        w01 = plains[0][:, None, :] * plains[1][None, :, :]
+        return w01.reshape(E * E, cap)
+    w01 = (plains[0][:, None, :] * plains[1][None, :, :]).reshape(E * E, cap)
+    return (w01[:, None, :] * plains[2][None, :, :]).reshape(E**3, cap)
+
+
+def _rows_stack(vecs, cap: int):
+    """Stack [cap] vectors into [n, cap] (iota-select, Mosaic-safe)."""
+    n = len(vecs)
+    rid = lax.broadcasted_iota(jnp.int32, (n, cap), 0)
+    out = jnp.zeros((n, cap), jnp.float32)
+    for i, v in enumerate(vecs):
+        out = jnp.where(rid == i, v[None, :], out)
+    return out
+
+
+def _lane_e_coords(E: int, D: int, rows: int, lanes: Optional[int] = None):
+    """e_d coefficient rows [rows, lanes] (lane iota decode of the window).
+
+    For lanes > E^D (padded windows) the decoded values are garbage there —
+    harmless, the padded window rows are zero so the products vanish."""
+    L = E**D if lanes is None else lanes
+    l_io = lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+    out = []
+    for d in range(D):
+        div = E ** (D - 1 - d)
+        out.append(((l_io // div) % E).astype(jnp.float32))
+    return out
+
+
+def _pad_rows(x, rows: int):
+    """Zero-pad the sublane dim of [r, L] to ``rows``."""
+    r = x.shape[0]
+    if r == rows:
+        return x
+    return jnp.pad(x, ((0, rows - r), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: p2g_1 deposit (mass + APIC momentum)
+# ---------------------------------------------------------------------------
+
+
+def _deposit_values(pm, valid, dvec, bases, cap: int, D: int, h: int):
+    """Ucat [(1+D)*(1+D), cap]: groups [U0, V1..VD] for the one-window form.
+
+    Tap value m(v + C dpos), dpos = -dvec + (o-1); with the window identity
+    the moment coefficient becomes (e_d - base_d - 1)  [base = lc + h - 1,
+    so e_d - base - 1 = o - 1 at the tap rows].
+    """
+    vel = [pm[D + d, :] for d in range(D)]
+    Cm = [[pm[2 * D + i * D + j, :] for j in range(D)] for i in range(D)]
+    mass = jnp.where(valid, pm[2 * D + D * D, :], 0.0)
+    Aval = []
+    for i in range(D):
+        cd = Cm[i][0] * dvec[0]
+        for j in range(1, D):
+            cd = cd + Cm[i][j] * dvec[j]
+        Aval.append(mass * (vel[i] - cd))
+    bf = [b.astype(jnp.float32) + 1.0 for b in bases]
+    U0 = [mass]
+    for i in range(D):
+        acc = Aval[i]
+        for d in range(D):
+            acc = acc - bf[d] * (mass * Cm[i][d])
+        U0.append(acc)
+    Ucat = U0[:]
+    zero = jnp.zeros_like(mass)
+    for d in range(D):
+        Ucat += [zero] + [mass * Cm[i][d] for i in range(D)]
+    return _rows_stack(Ucat, cap)
+
+
+def _p2g2_values(pm, valid, dvec, bases, rho, cfg_row, cap: int, D: int):
+    """Ucat2 [D*(1+D), cap] force-deposit channels (eq-16 term).
+
+    cfg_row: (dt, rest_density, eos_stiffness, eos_power, floor, mu)
+    Returns (Ucat2, pressure[cap], volume[cap]).
+    """
+    dt, rest, k_eos, gamma, floor_p, mu = cfg_row
+    Cm = [[pm[2 * D + i * D + j, :] for j in range(D)] for i in range(D)]
+    mass = jnp.where(valid, pm[2 * D + D * D, :], 0.0)
+    volume = jnp.where(rho > 0.0, mass / jnp.where(rho > 0.0, rho, 1.0), 0.0)
+    pressure = jnp.maximum(floor_p, k_eos * ((rho / rest) ** gamma - 1.0))
+    scale = (-4.0 * dt) * volume
+    term = [
+        [
+            scale * ((-pressure if i == j else 0.0) + mu * (Cm[i][j] + Cm[j][i]))
+            for j in range(D)
+        ]
+        for i in range(D)
+    ]
+    A2 = []
+    for i in range(D):
+        acc = term[i][0] * (-dvec[0])
+        for j in range(1, D):
+            acc = acc + term[i][j] * (-dvec[j])
+        A2.append(acc)
+    bf = [b.astype(jnp.float32) + 1.0 for b in bases]
+    U0 = []
+    for i in range(D):
+        acc = A2[i]
+        for d in range(D):
+            acc = acc - bf[d] * term[i][d]
+        U0.append(acc)
+    Ucat = U0[:]
+    for d in range(D):
+        Ucat += [term[i][d] for i in range(D)]
+    return _rows_stack(Ucat, cap), pressure, volume
+
+
+def _fixup_deposit(YT, E: int, D: int, CH: int, EP: int):
+    """YT [(1+D)*CH, EP] -> block [CH, EP]: Y0 + sum_d e_d * Yd."""
+    es = _lane_e_coords(E, D, CH, lanes=EP)
+    # lanes >= E^D carry garbage e-coords but YT is zero there (the padded
+    # window rows are zero), so no masking needed.
+    blk = YT[0:CH]
+    for d in range(D):
+        blk = blk + es[d] * YT[(d + 1) * CH : (d + 2) * CH]
+    return blk
+
+
+def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
+    """mode='p2g1' -> out [NG, 1+D, G*EP]; mode='p2g2' -> [NG, D, G*EP]
+    (p2g2 also takes mgblk [NG, 1, G*EP] and params [6])."""
+    T, cap, h, G = spec.tile, spec.cap, spec.halo, spec.group
+    E, EP, NG, A = spec.E, spec.EP(D), spec.NG, spec.A
+    F = _row_layout(D)
+    CH = 1 + D if mode == "p2g1" else D
+
+    def kernel(*refs):
+        if mode == "p2g1":
+            count_ref, tid_ref, stream_ref, out_ref = refs
+        else:
+            count_ref, tid_ref, params_ref, stream_ref, mg_ref, out_ref = refs
+        g = pl.program_id(0)
+        for j in range(G):
+            pm = stream_ref[0, :, j * cap : (j + 1) * cap]
+            a = g * G + j
+            tid = tid_ref[a]
+            valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < count_ref[a]
+            plains, bases, dvec = _kernel_profiles(
+                pm, tid, T, E, h, tshape, origin, cap
+            )
+            vf = valid.astype(jnp.float32)[None, :]
+            W0 = _kernel_window(plains, E, cap, D) * vf  # [E^D, cap]
+            W0p = _pad_rows(W0, EP)
+            if mode == "p2g1":
+                U = _deposit_values(pm, valid, dvec, bases, cap, D, h)
+            else:
+                mrow = mg_ref[0, 0:1, j * EP : j * EP + E**D]  # [1, E^D]
+                rho = lax.dot_general(
+                    mrow, W0, (((1,), (0,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )[0]  # [cap]
+                cfg_row = tuple(params_ref[i] for i in range(6))
+                U, _, _ = _p2g2_values(pm, valid, dvec, bases, rho, cfg_row, cap, D)
+            YT = lax.dot_general(
+                U, W0p, (((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [(1+D)*CH, EP]
+            out_ref[0, :, j * EP : (j + 1) * EP] = _fixup_deposit(YT, E, D, CH, EP)
+
+    n_prefetch = 2 if mode == "p2g1" else 3
+    in_specs = [
+        pl.BlockSpec((1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    if mode == "p2g2":
+        in_specs.append(
+            pl.BlockSpec((1, 1, G * EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=(NG,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, CH, G * EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    def call(count, tid, stream, mgblk=None, params=None):
+        args = (count, tid)
+        if mode == "p2g2":
+            args = args + (params,)
+        args = args + (stream,)
+        if mode == "p2g2":
+            args = args + (mgblk,)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((NG, CH, G * EP), jnp.float32),
+            interpret=spec.interpret,
+        )(*args)
+
+    return call
+
+
+# ---------------------------------------------------------------------------
+# Kernel 3: collect (g2p + particle tail) -> next stream
+# ---------------------------------------------------------------------------
+
+
+def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
+    T, cap, h, G = spec.tile, spec.cap, spec.halo, spec.group
+    E, EP, NG, A = spec.E, spec.EP(D), spec.NG, spec.A
+    E3 = E**D
+    F = _row_layout(D)
+    NP = 16 + 2 * D  # params length
+
+    def kernel(count_ref, tid_ref, params_ref, stream_ref, gblk_ref, out_ref):
+        g = pl.program_id(0)
+        dt = params_ref[0]
+        rest = params_ref[1]
+        k_eos = params_ref[2]
+        gamma = params_ref[3]
+        floor_p = params_ref[4]
+        mouse_radius = params_ref[5]
+        bdamp = params_ref[6]
+        m_active = params_ref[7]
+        mx = params_ref[8]
+        my = params_ref[9]
+        clip_lo = [params_ref[10 + d] for d in range(D)]
+        clip_hi = [params_ref[10 + D + d] for d in range(D)]
+
+        for j in range(G):
+            pm = stream_ref[0, :, j * cap : (j + 1) * cap]
+            a = g * G + j
+            tid = tid_ref[a]
+            valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < count_ref[a]
+            plains, bases, dvec = _kernel_profiles(
+                pm, tid, T, E, h, tshape, origin, cap
+            )
+            W0 = _kernel_window(plains, E, cap, D)  # [E^D, cap]
+            gb = gblk_ref[0, :, j * EP : j * EP + E3]  # [1+D, E^D]: v rows, m row
+            es = _lane_e_coords(E, D, 1)
+            # BcatT rows: v(D), e_0*v(D), ..., e_{D-1}*v(D), m -> [(1+D)D+1, E^D]
+            nb = (1 + D) * D + 1
+            rid = lax.broadcasted_iota(jnp.int32, (nb, E3), 0)
+            Bcat = jnp.zeros((nb, E3), jnp.float32)
+            for i in range(D):
+                vi = gb[i][None, :]
+                Bcat = jnp.where(rid == i, vi, Bcat)
+                for d in range(D):
+                    Bcat = jnp.where(rid == (d + 1) * D + i, es[d] * vi, Bcat)
+            Bcat = jnp.where(rid == (1 + D) * D, gb[D][None, :], Bcat)
+            X = lax.dot_general(
+                Bcat, W0, (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [nb, cap]
+            v = [X[i] for i in range(D)]
+            bf = [b.astype(jnp.float32) + 1.0 for b in bases]
+            newC = []
+            for i in range(D):
+                for dd in range(D):
+                    Md = X[(dd + 1) * D + i] - bf[dd] * v[i]
+                    newC.append(4.0 * (v[i] * (-dvec[dd]) + Md))
+            rho = X[(1 + D) * D]
+            pressure = jnp.maximum(floor_p, k_eos * ((rho / rest) ** gamma - 1.0))
+
+            newpos = [pm[d, :] + v[d] * dt for d in range(D)]
+
+            # mouse repulsion (quirk Q3: post-advect, xy plane, 3d:305-310)
+            dx = newpos[0] - mx
+            dy = newpos[1] - my
+            d2 = dx * dx + dy * dy
+            nrm = jnp.sqrt(d2)
+            inv = jnp.where(nrm > 0.0, 1.0 / jnp.where(nrm > 0.0, nrm, 1.0), 0.0)
+            hit = (m_active > 0.0) & (d2 < mouse_radius * mouse_radius)
+            v[0] = v[0] + jnp.where(hit, dx * inv, 0.0)
+            v[1] = v[1] + jnp.where(hit, dy * inv, 0.0)
+
+            # clamp + soft wall (quirk Q2: un-scaled lookahead, 2d:302-325)
+            for d in range(D):
+                p_cl = jnp.clip(newpos[d], clip_lo[d], clip_hi[d])
+                nxt = p_cl + v[d]
+                wmin = clip_lo[d] + bdamp
+                wmax = clip_hi[d] - bdamp
+                vv = v[d] + jnp.where(nxt < wmin, wmin - nxt, 0.0)
+                vv = vv + jnp.where(nxt > wmax, wmax - nxt, 0.0)
+                newpos[d] = p_cl
+                v[d] = vv
+
+            mass = pm[2 * D + D * D, :]
+            pid = pm[2 * D + D * D + 1, :]
+            rows = newpos + v + newC + [mass, pid, rho, pressure]
+            out = _rows_stack(rows, cap)
+            out_ref[0, :, j * cap : (j + 1) * cap] = jnp.where(
+                valid[None, :], out, 0.0
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1 + D, G * EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    def call(count, tid, params, stream, gblk):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((NG, F, G * cap), jnp.float32),
+            interpret=spec.interpret,
+        )(count, tid, params, stream, gblk)
+
+    return call
+
+
+# ---------------------------------------------------------------------------
+# XLA glue: channel-major block <-> dense tile array, halo, masks
+# ---------------------------------------------------------------------------
+
+
+def _tile_geometry(domain: Domain, spec: StreamSpec):
+    T = spec.tile
+    if any(s % T for s in domain.shape):
+        raise ValueError(f"grid shape {domain.shape} not divisible by tile={T}")
+    tshape = tuple(s // T for s in domain.shape)
+    return tshape, math.prod(tshape)
+
+
+def halo_flat(x: jnp.ndarray, tshape, T: int, E: int, CH: int) -> jnp.ndarray:
+    """Overlap-add across neighboring tiles on the FLAT block layout.
+
+    x: [nt, CH*E^D] with lane order (ch, e_0, ..., e_{D-1}).  Window cell e
+    maps to global cell t*T + e - h, so tile t's cells e in [T, E) coincide
+    with tile t+1's [0, E-T) (generic in h).  Each axis pass is two
+    (row-shift + lane-shift + mask + add) steps — all ops keep the fat
+    CH*E^D minor dim, which measures ~4x faster than e-axis slice updates
+    on [nt, ..., E, E, chan] layouts (bench/micro_kernels.py glue).
+
+    Lane shifts stay within one channel block: a target lane needs e_d >= T
+    (resp. < E-T), so its source lane differs by T*stride_d and has the same
+    channel/other-e coordinates; out-of-support lanes are masked to zero.
+    """
+    D = len(tshape)
+    nt, L = x.shape
+    E3 = E**D
+    r_io = jnp.arange(nt, dtype=jnp.int32)[:, None]  # [nt, 1]
+    l_io = jnp.arange(L, dtype=jnp.int32)[None, :] % E3  # flat e index
+
+    def row_shift(y, k):
+        # z[r] = y[r + k] with zero fill (k may be negative)
+        if k > 0:
+            return jnp.concatenate([y[k:], jnp.zeros((k, L), y.dtype)], axis=0)
+        return jnp.concatenate([jnp.zeros((-k, L), y.dtype), y[:k]], axis=0)
+
+    def lane_shift(y, k):
+        # z[:, l] = y[:, l - k] with zero fill
+        if k > 0:
+            return jnp.concatenate([jnp.zeros((y.shape[0], k), y.dtype), y[:, :-k]], axis=1)
+        return jnp.concatenate([y[:, -k:], jnp.zeros((y.shape[0], -k), y.dtype)], axis=1)
+
+    for d in range(D):
+        rs = math.prod(tshape[d + 1 :])
+        lstride = E ** (D - 1 - d)
+        coord = (r_io // rs) % tshape[d]  # [nt, 1]
+        e_d = (l_io // lstride) % E  # [1, L]
+
+        xin = x
+        # from the +1 neighbor: my e_d in [T, E) += nbr's e_d - T
+        y = row_shift(xin, rs)
+        y = jnp.where(coord < tshape[d] - 1, y, 0.0)
+        y = lane_shift(y, T * lstride)
+        x = x + jnp.where(e_d >= T, y, 0.0)
+        # from the -1 neighbor: my e_d in [0, E-T) += nbr's e_d + T
+        y = row_shift(xin, -rs)
+        y = jnp.where(coord > 0, y, 0.0)
+        y = lane_shift(y, -T * lstride)
+        x = x + jnp.where(e_d < E - T, y, 0.0)
+    return x
+
+
+def _unflatten(idx: jnp.ndarray, shape) -> jnp.ndarray:
+    out = []
+    for d in range(len(shape) - 1, -1, -1):
+        out.append(idx % shape[d])
+        idx = idx // shape[d]
+    return jnp.stack(out[::-1], axis=-1)
+
+
+def _edge_mask(tid, tshape, T: int, E: int, h: int, D: int):
+    nt = math.prod(tshape)
+    co = _unflatten(jnp.clip(tid, 0, nt - 1), tshape)  # [A, D]
+    e_io = jnp.arange(E, dtype=jnp.int32)
+    masks = []
+    for d in range(D):
+        g = co[:, d : d + 1] * T + e_io[None, :] - h  # [A, E]
+        masks.append(((g >= 0) & (g < tshape[d] * T)).astype(jnp.float32))
+    m = masks[0]
+    for d in range(1, D):
+        m = (m[:, :, None] * masks[d][:, None, :]).reshape(m.shape[0], -1)
+    return m  # [A, E^D]
+
+
+def _blocks_to_dense(blocks, tid, nt: int, spec: StreamSpec, D: int, CH: int):
+    """[NG, CH, G*EP] kernel output -> dense [*tshape, CH, E, .., E]."""
+    E, EP, G, A = spec.E, spec.EP(D), spec.group, spec.A
+    E3 = E**D
+    NG = spec.NG
+    x = blocks.reshape(NG, CH, G, EP).transpose(0, 2, 1, 3).reshape(A, CH, EP)
+    x = x[:, :, :E3].reshape(A, CH * E3)
+    dense = jnp.zeros((nt + 1, CH * E3), jnp.float32)
+    dense = dense.at[jnp.clip(tid, 0, nt)].add(x, mode="drop")
+    return dense[:nt]  # [nt, CH*E3]
+
+
+def _dense_to_groups(dense_flat, tid, emask, nt: int, spec: StreamSpec, D: int, CH: int):
+    """dense [nt, CH*E^D] -> masked group blocks [NG, CH, G*EP]."""
+    E, EP, G, A, NG = spec.E, spec.EP(D), spec.group, spec.A, spec.NG
+    E3 = E**D
+    x = jnp.concatenate([dense_flat, jnp.zeros((1, CH * E3), jnp.float32)], axis=0)
+    act = jnp.take(x, jnp.clip(tid, 0, nt), axis=0).reshape(A, CH, E3)
+    act = act * emask[:, None, :]
+    act = jnp.pad(act, ((0, 0), (0, 0), (0, EP - E3)))
+    return act.reshape(NG, G, CH, EP).transpose(0, 2, 1, 3).reshape(NG, CH, G * EP)
+
+
+# ---------------------------------------------------------------------------
+# Binning: ParticleState <-> StreamState
+# ---------------------------------------------------------------------------
+
+
+def _flatten_coords(c: jnp.ndarray, shape) -> jnp.ndarray:
+    strides = []
+    s = 1
+    for d in range(len(shape) - 1, -1, -1):
+        strides.append(s)
+        s *= shape[d]
+    strides = jnp.asarray(strides[::-1], jnp.int32)
+    return (c * strides).sum(axis=-1)
+
+
+def _keys_from_pos(pos, domain: Domain, spec: StreamSpec, tshape):
+    shape = jnp.asarray(domain.shape, jnp.int32)
+    origin = jnp.asarray(domain.origin, jnp.int32)
+    cell = jnp.clip(jnp.floor(pos).astype(jnp.int32) - origin, 0, shape - 1)
+    return _flatten_coords(cell // spec.tile, tshape)
+
+
+def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt):
+    """rows [N, F] + tile ids -> (stream, count, tid) slot structure.
+
+    GATHER-only (row scatter measures ~10x slower than gather on v5e):
+    sort keys, derive per-active-tile start offsets, and fill slots with one
+    [A*cap]-row gather through order.  Tile ids >= nt are treated as
+    "invalid row" sentinels (used by re-binning) and never land in a tile.
+    """
+    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
+    F = rows.shape[1]
+
+    order = jnp.argsort(tid_of_particle)
+    sid = jnp.take(tid_of_particle, order)
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    start = jnp.full((nt + 2,), n, jnp.int32)
+    start = start.at[jnp.clip(sid, 0, nt + 1)].min(jnp.where(first, ranks, n))
+    start = lax.cummin(start[::-1])[::-1]
+    count_t = (start[1:] - start[:-1])[:nt]  # real tiles only
+
+    occ = count_t > 0
+    occ_rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    act_of_tile = jnp.where(occ & (occ_rank < A), occ_rank, A)
+    tid_act = jnp.full((A,), -1, jnp.int32)
+    tid_act = tid_act.at[jnp.clip(act_of_tile, 0, A - 1)].max(
+        jnp.where(act_of_tile < A, jnp.arange(nt, dtype=jnp.int32), -1)
+    )
+    tid_act = jnp.where(tid_act < 0, nt, tid_act)
+    count_act = jnp.take(jnp.append(count_t, 0), jnp.clip(tid_act, 0, nt))
+    count_act = jnp.minimum(count_act, cap)
+
+    # slot fill: one wide-row gather (sorted ranges are contiguous per tile)
+    act_start = jnp.take(start[:-1], jnp.clip(tid_act, 0, nt))
+    s_io = jnp.arange(cap, dtype=jnp.int32)
+    bidx = act_start[:, None] + s_io[None, :]  # [A, cap]
+    valid = s_io[None, :] < count_act[:, None]
+    bsrc = jnp.take(order, jnp.clip(bidx, 0, n - 1).ravel())
+    slot_rows = jnp.take(rows, bsrc, axis=0).reshape(A, cap, F)
+    slot_rows = jnp.where(valid[..., None], slot_rows, 0.0)
+    stream = (
+        slot_rows.reshape(NG, G, cap, F).transpose(0, 3, 1, 2).reshape(NG, F, G * cap)
+    )
+    return StreamState(stream=stream, count=count_act, tid=tid_act)
+
+
+def bin_particles(p: ParticleState, domain: Domain, spec: StreamSpec) -> StreamState:
+    """ParticleState -> persistent stream layout (sort + one row scatter)."""
+    tshape, nt = _tile_geometry(domain, spec)
+    n, D = p.n, p.dim
+    rows = jnp.concatenate(
+        [
+            p.pos,
+            p.vel,
+            p.C.reshape(n, D * D),
+            p.mass[:, None],
+            jnp.arange(n, dtype=jnp.float32)[:, None],  # id (exact to 2^24)
+            p.density[:, None],
+            p.pressure[:, None],
+        ],
+        axis=1,
+    )
+    tid_p = _keys_from_pos(p.pos, domain, spec, tshape)
+    return _bin_rows(rows, tid_p, n, spec, nt)
+
+
+def _slots_flat(st: StreamState, spec: StreamSpec):
+    """stream [NG, F, G*cap] -> (rows [A*cap, F], slot_valid [A*cap])."""
+    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
+    F = st.stream.shape[1]
+    flat = (
+        st.stream.reshape(NG, F, G, cap).transpose(0, 2, 3, 1).reshape(A * cap, F)
+    )
+    slot_valid = (
+        jnp.arange(A * cap, dtype=jnp.int32) % cap
+        < jnp.repeat(st.count, cap, total_repeat_length=A * cap)
+    )
+    return flat, slot_valid
+
+
+def unbin(st: StreamState, domain: Domain, spec: StreamSpec, n: int, D: int) -> ParticleState:
+    """Stream -> ParticleState in ORIGINAL particle order (via the id row).
+
+    Gather-only: sort slot keys (id for valid slots, unique big sentinels
+    for the rest) and take the first n rows — those are the particles in
+    ascending-id = original order."""
+    A, cap = spec.A, spec.cap
+    flat, slot_valid = _slots_flat(st, spec)
+    ids = flat[:, 2 * D + D * D + 1].astype(jnp.int32)
+    keys = jnp.where(slot_valid, ids, n + jnp.arange(A * cap, dtype=jnp.int32))
+    order = jnp.argsort(keys)[:n]
+    out = jnp.take(flat, order, axis=0)
+    return ParticleState(
+        pos=out[:, 0:D],
+        vel=out[:, D : 2 * D],
+        C=out[:, 2 * D : 2 * D + D * D].reshape(n, D, D),
+        mass=out[:, 2 * D + D * D],
+        density=out[:, 2 * D + D * D + 2],
+        pressure=out[:, 2 * D + D * D + 3],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substep + frame drivers
+# ---------------------------------------------------------------------------
+
+
+def _collect_params(cfg: Config, mouse_pos, mouse_active, D: int):
+    lo, hi = cfg.boundary_clip
+    base = jnp.asarray(
+        [
+            cfg.dt, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power,
+            cfg.pressure_floor, cfg.mouse_radius, cfg.boundary_damp_dist,
+            0.0, 0.0, 0.0, *lo, *hi,
+        ],
+        jnp.float32,
+    )
+    base = base.at[7].set(mouse_active.astype(jnp.float32))
+    base = base.at[8].set(mouse_pos[0].astype(jnp.float32))
+    base = base.at[9].set(mouse_pos[1].astype(jnp.float32))
+    return base
+
+
+def substep_binned(
+    st: StreamState,
+    cfg: Config,
+    domain: Domain,
+    spec: StreamSpec,
+    mouse_pos,
+    mouse_active,
+) -> StreamState:
+    """One MLS-MPM substep entirely on the persistent stream layout."""
+    D = cfg.dim
+    tshape, nt = _tile_geometry(domain, spec)
+    origin = tuple(int(o) for o in domain.origin)
+    T, E, h = spec.tile, spec.E, spec.halo
+    EP = spec.EP(D)
+
+    dep1_k = make_deposit_kernel(spec, D, tshape, origin, "p2g1")
+    dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
+    coll_k = make_collect_kernel(spec, D, tshape, origin)
+
+    emask = _edge_mask(st.tid, tshape, T, E, h, D)  # [A, E^D]
+
+    # ---- p2g_1 ------------------------------------------------------------
+    dep1 = dep1_k(st.count, st.tid, st.stream)  # [NG, 1+D, G*EP]
+    dense1 = _blocks_to_dense(dep1, st.tid, nt, spec, D, 1 + D)
+    hs1 = halo_flat(dense1, tshape, T, E, 1 + D)
+    act1 = _dense_to_groups(hs1, st.tid, emask, nt, spec, D, 1 + D)
+    mgblk = act1[:, 0:1, :]  # [NG, 1, G*EP]
+
+    # ---- p2g_2 ------------------------------------------------------------
+    params6 = jnp.asarray(
+        [cfg.dt, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power,
+         cfg.pressure_floor, cfg.dynamic_viscosity],
+        jnp.float32,
+    )
+    dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
+    dense2 = _blocks_to_dense(dep2, st.tid, nt, spec, D, D)
+    hs2 = halo_flat(dense2, tshape, T, E, D)
+    act2 = _dense_to_groups(hs2, st.tid, emask, nt, spec, D, D)
+
+    # ---- grid update (on group blocks) -------------------------------------
+    g = jnp.asarray(cfg.gravity, jnp.float32)
+    m = act1[:, 0:1, :]
+    mom = act1[:, 1:, :] + act2
+    v = jnp.where(m > 0.0, mom / jnp.where(m > 0.0, m, 1.0) + cfg.dt * g[None, :, None], 0.0)
+    gblk = jnp.concatenate([v, m], axis=1)  # [NG, 1+D, G*EP]
+
+    # ---- g2p + tail --------------------------------------------------------
+    params = _collect_params(cfg, mouse_pos, mouse_active, D)
+    new_stream = coll_k(st.count, st.tid, params, st.stream, gblk)
+    return StreamState(stream=new_stream, count=st.count, tid=st.tid)
+
+
+def needs_rebin(st: StreamState, domain: Domain, spec: StreamSpec, D: int) -> jnp.ndarray:
+    """True when any valid particle's NEXT deposit would fall outside its
+    bin tile's drift window (local cell outside [1-h, T-2+h])."""
+    tshape, nt = _tile_geometry(domain, spec)
+    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
+    T, h = spec.tile, spec.halo
+    origin = jnp.asarray(domain.origin, jnp.int32)
+    F = st.stream.shape[1]
+    pos = st.stream[:, :D, :].reshape(NG, D, G, cap).transpose(0, 2, 1, 3)
+    pos = pos.reshape(A, D, cap)
+    co = _unflatten(jnp.clip(st.tid, 0, nt - 1), tshape)  # [A, D]
+    cell = jnp.floor(pos).astype(jnp.int32) - origin[None, :, None]
+    lc = cell - (co * T)[:, :, None]
+    bad = (lc < 1 - h) | (lc > T - 2 + h)  # [A, D, cap]
+    s_io = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+    valid = s_io < st.count[:, None, None]
+    return jnp.any(bad & valid)
+
+
+def frame_binned(
+    st: StreamState,
+    cfg: Config,
+    domain: Domain,
+    spec: StreamSpec,
+    mouse_pos,
+    mouse_active,
+    substeps: Optional[int] = None,
+) -> StreamState:
+    """cfg.iterations substeps with drift-triggered conditional re-binning."""
+    tshape, nt = _tile_geometry(domain, spec)
+    n_sub = cfg.iterations if substeps is None else substeps
+    n_slots = spec.A * spec.cap
+
+    def body(_, st):
+        st = substep_binned(st, cfg, domain, spec, mouse_pos, mouse_active)
+        total = st.count.sum()
+
+        def do_rebin(st):
+            # total valid particles is dynamic; _rebin needs static n — use
+            # the slot count as the compaction width (invalid slots sort to
+            # the tail and scatter to the drop row via id=n sentinel).
+            return _rebin_full(st, cfg, domain, spec, tshape, nt)
+
+        return lax.cond(
+            needs_rebin(st, domain, spec, cfg.dim), do_rebin, lambda s: s, st
+        )
+
+    return lax.fori_loop(0, n_sub, body, st)
+
+
+def _rebin_full(st: StreamState, cfg, domain, spec: StreamSpec, tshape, nt):
+    """Static-shape re-bin over ALL slots (invalid slots key to the nt
+    sentinel tile, which _bin_rows never places)."""
+    D = cfg.dim
+    flat, slot_valid = _slots_flat(st, spec)
+    tid_p = _keys_from_pos(flat[:, :D], domain, spec, tshape)
+    tid_p = jnp.where(slot_valid, tid_p, nt)
+    return _bin_rows(flat, tid_p, spec.A * spec.cap, spec, nt)
+
+
+# ---------------------------------------------------------------------------
+# Drop-in substep (dense-backend-compatible signature, for tests/step.py)
+# ---------------------------------------------------------------------------
+
+
+def substep(
+    p: ParticleState,
+    cfg: Config,
+    domain: Domain,
+    mouse_pos,
+    mouse_active,
+    spec: Optional[StreamSpec] = None,
+    preserve_order: bool = True,
+) -> Tuple[ParticleState, GridState]:
+    """Bin -> one substep -> unbin.  For equivalence tests and small runs;
+    the fast path is frame() below (bin/unbin amortized over the frame)."""
+    if spec is None:
+        spec = default_spec(cfg, domain, p.n)
+    st = bin_particles(p, domain, spec)
+    st2 = substep_binned(st, cfg, domain, spec, mouse_pos, mouse_active)
+    out = unbin(st2, domain, spec, p.n, p.dim)
+
+    # Dense grid for API parity (dead-code-eliminated when unused).
+    D = cfg.dim
+    tshape, nt = _tile_geometry(domain, spec)
+    origin = tuple(int(o) for o in domain.origin)
+    dep1_k = make_deposit_kernel(spec, D, tshape, origin, "p2g1")
+    dep1 = dep1_k(st.count, st.tid, st.stream)
+    dense1 = _blocks_to_dense(dep1, st.tid, nt, spec, D, 1 + D)
+    from .tiling import assemble
+
+    E = spec.E
+    blocks_em = dense1.reshape(nt, 1 + D, *(E,) * D)
+    perm = (0,) + tuple(range(2, 2 + D)) + (1,)
+    grid_all = assemble(blocks_em.transpose(perm), tshape, spec.tile)
+    grid_m = grid_all[..., 0]
+    params6 = jnp.asarray(
+        [cfg.dt, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power,
+         cfg.pressure_floor, cfg.dynamic_viscosity],
+        jnp.float32,
+    )
+    emask = _edge_mask(st.tid, tshape, spec.tile, E, spec.halo, D)
+    hs1 = halo_flat(dense1, tshape, spec.tile, E, 1 + D)
+    mgblk = _dense_to_groups(hs1, st.tid, emask, nt, spec, D, 1 + D)[:, 0:1, :]
+    dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
+    dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
+    dense2 = _blocks_to_dense(dep2, st.tid, nt, spec, D, D)
+    blocks2 = dense2.reshape(nt, D, *(E,) * D)
+    grid_mv = grid_all[..., 1:] + assemble(blocks2.transpose(perm), tshape, spec.tile)
+    g = jnp.asarray(cfg.gravity, jnp.float32)
+    mm = grid_m[..., None]
+    grid_v = jnp.where(mm > 0.0, grid_mv / jnp.where(mm > 0.0, mm, 1.0) + cfg.dt * g, 0.0)
+    return out, GridState(mass=grid_m, vel=grid_v)
+
+
+def frame(
+    p: ParticleState,
+    cfg: Config,
+    domain: Domain,
+    mouse_pos,
+    mouse_active,
+    spec: Optional[StreamSpec] = None,
+    substeps: Optional[int] = None,
+) -> ParticleState:
+    """Full frame on the persistent layout: bin once, run substeps with
+    drift-triggered re-bins, un-bin once."""
+    if spec is None:
+        spec = default_spec(cfg, domain, p.n)
+    st = bin_particles(p, domain, spec)
+    st = frame_binned(st, cfg, domain, spec, mouse_pos, mouse_active, substeps)
+    return unbin(st, domain, spec, p.n, p.dim)
+
+
+def overflow_count(pos: jnp.ndarray, domain: Domain, spec: StreamSpec) -> jnp.ndarray:
+    """Particles that would not fit the slot structure (strict-mode check)."""
+    tshape, nt = _tile_geometry(domain, spec)
+    n = pos.shape[0]
+    tid_p = _keys_from_pos(pos, domain, spec, tshape)
+    order = jnp.argsort(tid_p)
+    sid = jnp.take(tid_p, order)
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    start = jnp.full((nt + 1,), n, jnp.int32)
+    start = start.at[sid].min(jnp.where(first, ranks, n))
+    start = lax.cummin(start[::-1])[::-1]
+    count_t = start[1:] - start[:-1]
+    occ_rank = jnp.cumsum((count_t > 0).astype(jnp.int32)) - 1
+    s_rank = ranks - jnp.take(start[:-1], sid)
+    a_rank = jnp.take(occ_rank, sid)
+    frozen = (s_rank >= spec.cap) | (a_rank >= spec.A)
+    return frozen.sum()

@@ -76,11 +76,14 @@ def assemble(blocks: jnp.ndarray, tshape: Tuple[int, ...], T: int) -> jnp.ndarra
     """Overlap-add tile blocks into the dense grid.
 
     blocks: [n_tiles, E, ..., E, *chan] with n_tiles = prod(tshape) (C-order).
-    Returns dense grid [tshape[0]*T, ..., tshape[-1]*T, *chan]; the one-cell
-    out-of-grid halo is cropped (dropped, like the reference bounds checks).
+    The halo width h = (E - T) // 2 is inferred from the block shape (window
+    cell e maps to global cell t*T + e - h).  Returns dense grid
+    [tshape[0]*T, ..., tshape[-1]*T, *chan]; out-of-grid halo cells are
+    cropped (dropped, like the reference bounds checks).
     """
     D = len(tshape)
     E = blocks.shape[1]
+    h = (E - T) // 2
     chan = blocks.shape[1 + D :]
     x = blocks.reshape(*tshape, *(E,) * D, *chan)
     # interleave to [nt0, E, nt1, E, ...]
@@ -92,21 +95,21 @@ def assemble(blocks: jnp.ndarray, tshape: Tuple[int, ...], T: int) -> jnp.ndarra
     for d in range(D):
         # merged axes before d are single axes; axis index of nt_d is d
         x = _axis_pass_assemble(x, d, T)
-    # crop the halo cell at each end of each axis
-    crop = tuple(slice(1, 1 + tshape[d] * T) for d in range(D))
+    # crop the h halo cells at each end of each axis
+    crop = tuple(slice(h, h + tshape[d] * T) for d in range(D))
     return x[crop]
 
 
-def extract(grid: jnp.ndarray, tshape: Tuple[int, ...], T: int) -> jnp.ndarray:
+def extract(grid: jnp.ndarray, tshape: Tuple[int, ...], T: int, halo: int = 1) -> jnp.ndarray:
     """Windowed read of expanded tile blocks from the dense grid.
 
-    grid: [tshape[0]*T, ..., *chan].  Returns [n_tiles, E, ..., E, *chan].
-    Out-of-grid halo reads as 0.
+    grid: [tshape[0]*T, ..., *chan].  Returns [n_tiles, E, ..., E, *chan]
+    with E = T + 2*halo.  Out-of-grid halo reads as 0.
     """
     D = len(tshape)
-    E = T + 2
+    E = T + 2 * halo
     chan = grid.shape[D:]
-    pad = [(1, 1)] * D + [(0, 0)] * len(chan)
+    pad = [(halo, halo)] * D + [(0, 0)] * len(chan)
     x = jnp.pad(grid, pad)
     for d in range(D):
         # current axis d is at position 2*d (after earlier splits)
@@ -165,19 +168,19 @@ def halo_sum(blocks: jnp.ndarray, tshape: Tuple[int, ...], T: int) -> jnp.ndarra
     return x.reshape((math.prod(tshape),) + (E,) * D + chan)
 
 
-def edge_mask(tshape: Tuple[int, ...], T: int, dtype=jnp.float32) -> jnp.ndarray:
+def edge_mask(tshape: Tuple[int, ...], T: int, dtype=jnp.float32, halo: int = 1) -> jnp.ndarray:
     """[n_tiles, E, ..., E] mask: 1 where the block cell maps to a real grid
     cell, 0 for the out-of-grid halo of boundary tiles (the reference drops
-    those stencil taps, 2d_multi.rs:165-167)."""
+    those stencil taps, 2d_multi.rs:165-167).  E = T + 2*halo."""
     import math
 
     D = len(tshape)
-    E = T + 2
+    E = T + 2 * halo
     per_axis = []
     for d in range(D):
         t_io = jnp.arange(tshape[d])[:, None]
         e_io = jnp.arange(E)[None, :]
-        g = t_io * T + e_io - 1
+        g = t_io * T + e_io - halo
         per_axis.append(((g >= 0) & (g < tshape[d] * T)).astype(dtype))
     m = per_axis[0]
     for d in range(1, D):

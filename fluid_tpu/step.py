@@ -41,6 +41,10 @@ def _get_backend(name: str):
         from .ops import pallas_transfer
 
         return pallas_transfer
+    if name == "stream":
+        from .ops import stream_transfer
+
+        return stream_transfer
     raise ValueError(f"unknown transfer backend {name!r}")
 
 

@@ -1,0 +1,109 @@
+"""Stream-backend equivalence vs dense (SURVEY.md §4.4).
+
+Kernels run in interpreter mode on the CPU test platform; the physics and
+the persistent-binning logic (drift-triggered re-bins, id-row un-binning)
+are exercised end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluid_tpu import step
+from fluid_tpu.config import default_2d, default_3d
+from fluid_tpu.domain import make_domain
+from fluid_tpu.ops import stream_transfer as stx
+from fluid_tpu.state import ParticleState
+
+
+def _small_case(dim, n, seed, vel_scale=0.4):
+    base = default_2d() if dim == 2 else default_3d()
+    cfg = base.replace(
+        boundary_clip=(tuple(0.0 for _ in range(dim)), tuple(32.0 for _ in range(dim))),
+        grid_res=16,
+    )
+    dom = make_domain(cfg, halo_cells=4)
+    key = jax.random.key(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    pos = jax.random.uniform(k1, (n, dim), jnp.float32, 8.0, 24.0)
+    p = ParticleState.create(pos)
+    p.vel = jax.random.normal(k2, p.vel.shape) * vel_scale
+    p.C = jax.random.normal(k3, p.C.shape) * 0.05
+    return cfg, p, dom
+
+
+def _spec(cfg, dom, n, active=None):
+    import math
+
+    nt = math.prod(s // 4 for s in dom.shape)
+    return stx.StreamSpec(
+        tile=4, cap=128, halo=2, group=8,
+        active=min(active or nt, nt), interpret=True,
+    )
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_stream_matches_dense_one_substep(dim):
+    cfg, p, dom = _small_case(dim, 256, seed=0)
+    spec = _spec(cfg, dom, 256)
+    assert int(stx.overflow_count(p.pos, dom, spec)) == 0
+    mp, ma = step.no_mouse()
+    a, ga = jax.jit(lambda q: step.substep(q, cfg, dom, mp, ma, backend="dense"))(p)
+    b, gb = jax.jit(lambda q: stx.substep(q, cfg, dom, mp, ma, spec))(p)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.density), np.asarray(b.density), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga.mass), np.asarray(gb.mass), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga.vel), np.asarray(gb.vel), atol=1e-4)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_stream_frame_with_rebins_matches_dense(dim):
+    # fast particles force drift-triggered re-bins within a few substeps
+    cfg, p, dom = _small_case(dim, 256, seed=1, vel_scale=4.0)
+    spec = _spec(cfg, dom, 256)
+    mp, ma = step.no_mouse()
+    substeps = 8
+
+    @jax.jit
+    def run_dense(q):
+        def body(_, q):
+            return step.substep(q, cfg, dom, mp, ma)[0]
+
+        return jax.lax.fori_loop(0, substeps, body, q)
+
+    a = run_dense(p)
+    b = stx.frame(p, cfg, dom, mp, ma, spec, substeps=substeps)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C), atol=1e-3)
+    # mass conserved and ids preserved (no particle lost to re-binning)
+    np.testing.assert_allclose(
+        float(np.asarray(b.mass).sum()), float(np.asarray(p.mass).sum()), rtol=1e-6
+    )
+
+
+def test_stream_rebin_triggers():
+    cfg, p, dom = _small_case(3, 256, seed=2, vel_scale=4.0)
+    spec = _spec(cfg, dom, 256)
+    st = stx.bin_particles(p, dom, spec)
+    mp, ma = step.no_mouse()
+    fired = False
+    for _ in range(8):
+        st = stx.substep_binned(st, cfg, dom, spec, mp, ma)
+        if bool(stx.needs_rebin(st, dom, spec, cfg.dim)):
+            fired = True
+            break
+    assert fired, "drift check never fired with fast particles"
+
+
+def test_stream_mouse_matches_dense():
+    cfg, p, dom = _small_case(2, 192, seed=3)
+    spec = _spec(cfg, dom, 192)
+    mp, ma = step.mouse((16.0, 16.0))
+    a, _ = jax.jit(lambda q: step.substep(q, cfg, dom, mp, ma, backend="dense"))(p)
+    b, _ = jax.jit(lambda q: stx.substep(q, cfg, dom, mp, ma, spec))(p)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-5)
