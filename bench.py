@@ -95,7 +95,9 @@ def _stream_spec(cfg, dom, n):
 
     T = 4
     per_tile = cfg.rest_density * T**cfg.dim
-    occupied = max(8, int(n / max(per_tile, 1.0) * 1.25))
+    # 2x initial occupancy: the settling fluid expands into the domain
+    # margin (measured: 1.25x saturates at 3d-1m and re-bins drop particles)
+    occupied = max(8, int(n / max(per_tile, 1.0) * 2.0))
     nt = math.prod(s // T for s in dom.shape)
     return stx.StreamSpec(
         tile=T, cap=128, halo=2, group=8, active=min(occupied, nt)
@@ -194,9 +196,9 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
 
 CONFIGS = {
     # name: (dim, particles, frames, batch, baseline_key, backends)
-    "2d-ref": (2, 4096, 20, None, "2d_reference_frame", ("dense", "sorted", "tiled")),
-    "3d-ref": (3, 4096, 10, None, "3d_reference_frame", ("dense", "sorted", "tiled")),
-    "2d-100k": (2, 100_000, 5, None, "2d_100k", ("tiled", "sorted")),
+    "2d-ref": (2, 4096, 20, None, "2d_reference_frame", ("stream", "dense", "tiled")),
+    "3d-ref": (3, 4096, 10, None, "3d_reference_frame", ("stream", "tiled", "dense")),
+    "2d-100k": (2, 100_000, 5, None, "2d_100k", ("stream", "tiled")),
     "3d-1m": (3, 1_000_000, 3, None, "3d_1m", ("stream", "tiled", "pallas")),
     "batch-64": (3, 4096, 3, 64, "3d_reference_frame", ("tiled", "sorted")),
 }

@@ -207,7 +207,7 @@ def main(argv=None) -> None:
     ap.add_argument("--frames", type=int, default=None, help="stop after N frames")
     ap.add_argument("--headless", action="store_true", help="no TTY; print frames")
     ap.add_argument(
-        "--backend", default="dense", choices=("dense", "sorted", "tiled", "pallas")
+        "--backend", default="dense", choices=("dense", "sorted", "tiled", "pallas", "stream")
     )
     ap.add_argument("--timing", action="store_true", help="per-phase timing overlay")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")

@@ -314,33 +314,49 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
             count_ref, tid_ref, params_ref, stream_ref, mg_ref, out_ref = refs
         g = pl.program_id(0)
         for j in range(G):
-            pm = stream_ref[0, :, j * cap : (j + 1) * cap]
             a = g * G + j
-            tid = tid_ref[a]
-            valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < count_ref[a]
-            plains, bases, dvec = _kernel_profiles(
-                pm, tid, T, E, h, tshape, origin, cap
-            )
-            vf = valid.astype(jnp.float32)[None, :]
-            W0 = _kernel_window(plains, E, cap, D) * vf  # [E^D, cap]
-            W0p = _pad_rows(W0, EP)
-            if mode == "p2g1":
-                U = _deposit_values(pm, valid, dvec, bases, cap, D, h)
-            else:
-                mrow = mg_ref[0, 0:1, j * EP : j * EP + E**D]  # [1, E^D]
-                rho = lax.dot_general(
-                    mrow, W0, (((1,), (0,)), ((), ())),
+            cnt = count_ref[a]
+
+            # empty tiles (count 0 — the compacted active list puts them in a
+            # contiguous tail) write zeros and skip all compute
+            @pl.when(cnt == 0)
+            def _(j=j):
+                out_ref[0, :, j * EP : (j + 1) * EP] = jnp.zeros(
+                    (CH, EP), jnp.float32
+                )
+
+            @pl.when(cnt > 0)
+            def _(j=j, a=a, cnt=cnt):
+                pm = stream_ref[0, :, j * cap : (j + 1) * cap]
+                tid = tid_ref[a]
+                valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < cnt
+                plains, bases, dvec = _kernel_profiles(
+                    pm, tid, T, E, h, tshape, origin, cap
+                )
+                vf = valid.astype(jnp.float32)[None, :]
+                W0 = _kernel_window(plains, E, cap, D) * vf  # [E^D, cap]
+                W0p = _pad_rows(W0, EP)
+                if mode == "p2g1":
+                    U = _deposit_values(pm, valid, dvec, bases, cap, D, h)
+                else:
+                    mrow = mg_ref[0, 0:1, j * EP : j * EP + E**D]  # [1, E^D]
+                    rho = lax.dot_general(
+                        mrow, W0, (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )[0]  # [cap]
+                    cfg_row = tuple(params_ref[i] for i in range(6))
+                    U, _, _ = _p2g2_values(
+                        pm, valid, dvec, bases, rho, cfg_row, cap, D
+                    )
+                YT = lax.dot_general(
+                    U, W0p, (((1,), (1,)), ((), ())),
                     precision=lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
-                )[0]  # [cap]
-                cfg_row = tuple(params_ref[i] for i in range(6))
-                U, _, _ = _p2g2_values(pm, valid, dvec, bases, rho, cfg_row, cap, D)
-            YT = lax.dot_general(
-                U, W0p, (((1,), (1,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # [(1+D)*CH, EP]
-            out_ref[0, :, j * EP : (j + 1) * EP] = _fixup_deposit(YT, E, D, CH, EP)
+                )  # [(1+D)*CH, EP]
+                out_ref[0, :, j * EP : (j + 1) * EP] = _fixup_deposit(
+                    YT, E, D, CH, EP
+                )
 
     n_prefetch = 2 if mode == "p2g1" else 3
     in_specs = [
@@ -403,11 +419,10 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
         clip_lo = [params_ref[10 + d] for d in range(D)]
         clip_hi = [params_ref[10 + D + d] for d in range(D)]
 
-        for j in range(G):
+        def _collect_tile(j, a, cnt):
             pm = stream_ref[0, :, j * cap : (j + 1) * cap]
-            a = g * G + j
             tid = tid_ref[a]
-            valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < count_ref[a]
+            valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < cnt
             plains, bases, dvec = _kernel_profiles(
                 pm, tid, T, E, h, tshape, origin, cap
             )
@@ -469,6 +484,21 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
             out_ref[0, :, j * cap : (j + 1) * cap] = jnp.where(
                 valid[None, :], out, 0.0
             )
+
+        for j in range(G):
+            a = g * G + j
+            cnt = count_ref[a]
+
+            # empty tiles: zero the output slots, skip all compute
+            @pl.when(cnt == 0)
+            def _(j=j):
+                out_ref[0, :, j * cap : (j + 1) * cap] = jnp.zeros(
+                    (F, cap), jnp.float32
+                )
+
+            @pl.when(cnt > 0)
+            def _(j=j, a=a, cnt=cnt):
+                _collect_tile(j, a, cnt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -566,20 +596,6 @@ def _unflatten(idx: jnp.ndarray, shape) -> jnp.ndarray:
     return jnp.stack(out[::-1], axis=-1)
 
 
-def _edge_mask(tid, tshape, T: int, E: int, h: int, D: int):
-    nt = math.prod(tshape)
-    co = _unflatten(jnp.clip(tid, 0, nt - 1), tshape)  # [A, D]
-    e_io = jnp.arange(E, dtype=jnp.int32)
-    masks = []
-    for d in range(D):
-        g = co[:, d : d + 1] * T + e_io[None, :] - h  # [A, E]
-        masks.append(((g >= 0) & (g < tshape[d] * T)).astype(jnp.float32))
-    m = masks[0]
-    for d in range(1, D):
-        m = (m[:, :, None] * masks[d][:, None, :]).reshape(m.shape[0], -1)
-    return m  # [A, E^D]
-
-
 def _blocks_to_dense(blocks, tid, nt: int, spec: StreamSpec, D: int, CH: int):
     """[NG, CH, G*EP] kernel output -> dense [*tshape, CH, E, .., E]."""
     E, EP, G, A = spec.E, spec.EP(D), spec.group, spec.A
@@ -592,13 +608,12 @@ def _blocks_to_dense(blocks, tid, nt: int, spec: StreamSpec, D: int, CH: int):
     return dense[:nt]  # [nt, CH*E3]
 
 
-def _dense_to_groups(dense_flat, tid, emask, nt: int, spec: StreamSpec, D: int, CH: int):
-    """dense [nt, CH*E^D] -> masked group blocks [NG, CH, G*EP]."""
+def _dense_to_groups(dense_flat, tid, nt: int, spec: StreamSpec, D: int, CH: int):
+    """dense [nt, CH*E^D] -> group blocks [NG, CH, G*EP]."""
     E, EP, G, A, NG = spec.E, spec.EP(D), spec.group, spec.A, spec.NG
     E3 = E**D
     x = jnp.concatenate([dense_flat, jnp.zeros((1, CH * E3), jnp.float32)], axis=0)
     act = jnp.take(x, jnp.clip(tid, 0, nt), axis=0).reshape(A, CH, E3)
-    act = act * emask[:, None, :]
     act = jnp.pad(act, ((0, 0), (0, 0), (0, EP - E3)))
     return act.reshape(NG, G, CH, EP).transpose(0, 2, 1, 3).reshape(NG, CH, G * EP)
 
@@ -766,14 +781,21 @@ def substep_binned(
     dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
     coll_k = make_collect_kernel(spec, D, tshape, origin)
 
-    emask = _edge_mask(st.tid, tshape, T, E, h, D)  # [A, E^D]
+    # No edge mask: positions are clamped to boundary_clip, which sits >= 1
+    # cell inside the dense grid (make_domain enforces halo_cells >= 1), so
+    # every stencil deposit lands in-grid; out-of-grid WINDOW cells of edge
+    # tiles hold zero deposits on every tile that replicates them, and the
+    # halo adds zeros — identical to the reference's dropped-tap semantics
+    # (2d_multi.rs:165-167) without any masking work.
 
     # ---- p2g_1 ------------------------------------------------------------
     dep1 = dep1_k(st.count, st.tid, st.stream)  # [NG, 1+D, G*EP]
     dense1 = _blocks_to_dense(dep1, st.tid, nt, spec, D, 1 + D)
-    hs1 = halo_flat(dense1, tshape, T, E, 1 + D)
-    act1 = _dense_to_groups(hs1, st.tid, emask, nt, spec, D, 1 + D)
-    mgblk = act1[:, 0:1, :]  # [NG, 1, G*EP]
+    E3 = E**D
+    # halo only the MASS channel now (p2g_2 needs it); the momentum halo is
+    # deferred and fused with the force halo below (halo is linear)
+    hs_m = halo_flat(dense1[:, :E3], tshape, T, E, 1)
+    mgblk = _dense_to_groups(hs_m, st.tid, nt, spec, D, 1)
 
     # ---- p2g_2 ------------------------------------------------------------
     params6 = jnp.asarray(
@@ -783,14 +805,16 @@ def substep_binned(
     )
     dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
     dense2 = _blocks_to_dense(dep2, st.tid, nt, spec, D, D)
-    hs2 = halo_flat(dense2, tshape, T, E, D)
-    act2 = _dense_to_groups(hs2, st.tid, emask, nt, spec, D, D)
+    # combined momentum+force halo: halo(mom) + halo(frc) == halo(mom + frc)
+    hs_mf = halo_flat(dense1[:, E3:] + dense2, tshape, T, E, D)
+    act_mf = _dense_to_groups(hs_mf, st.tid, nt, spec, D, D)
 
     # ---- grid update (on group blocks) -------------------------------------
     g = jnp.asarray(cfg.gravity, jnp.float32)
-    m = act1[:, 0:1, :]
-    mom = act1[:, 1:, :] + act2
-    v = jnp.where(m > 0.0, mom / jnp.where(m > 0.0, m, 1.0) + cfg.dt * g[None, :, None], 0.0)
+    m = mgblk  # [NG, 1, G*EP]
+    v = jnp.where(
+        m > 0.0, act_mf / jnp.where(m > 0.0, m, 1.0) + cfg.dt * g[None, :, None], 0.0
+    )
     gblk = jnp.concatenate([v, m], axis=1)  # [NG, 1+D, G*EP]
 
     # ---- g2p + tail --------------------------------------------------------
@@ -900,9 +924,8 @@ def substep(
          cfg.pressure_floor, cfg.dynamic_viscosity],
         jnp.float32,
     )
-    emask = _edge_mask(st.tid, tshape, spec.tile, E, spec.halo, D)
-    hs1 = halo_flat(dense1, tshape, spec.tile, E, 1 + D)
-    mgblk = _dense_to_groups(hs1, st.tid, emask, nt, spec, D, 1 + D)[:, 0:1, :]
+    hs_m = halo_flat(dense1[:, : E**D], tshape, spec.tile, E, 1)
+    mgblk = _dense_to_groups(hs_m, st.tid, nt, spec, D, 1)
     dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
     dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
     dense2 = _blocks_to_dense(dep2, st.tid, nt, spec, D, D)
