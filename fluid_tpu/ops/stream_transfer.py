@@ -71,6 +71,9 @@ def _pad128(x: int) -> int:
     return -(-x // 128) * 128
 
 
+CHP = 8  # per-tile channel rows in block arrays, padded to the f32 sublane tile
+
+
 @dataclasses.dataclass(frozen=True)
 class StreamSpec:
     """Static layout parameters (hashable => jit-static)."""
@@ -121,8 +124,10 @@ def default_spec(cfg: Config, domain: Domain, n: int) -> StreamSpec:
 
 # Stream row layout (F rows).
 def _row_layout(D: int):
-    # pos[D], vel[D], C[D*D], mass, id, rho, prs
-    return 2 * D + D * D + 4
+    # pos[D], vel[D], C[D*D], mass, id, rho, prs, drift-flag
+    # (the flag row is written by the collect kernel: 1.0 on any slot whose
+    # NEW cell leaves the drift window — needs_rebin is then a cheap reduce)
+    return 2 * D + D * D + 5
 
 
 @jax.tree_util.register_dataclass
@@ -300,8 +305,12 @@ def _fixup_deposit(YT, E: int, D: int, CH: int, EP: int):
 
 
 def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
-    """mode='p2g1' -> out [NG, 1+D, G*EP]; mode='p2g2' -> [NG, D, G*EP]
-    (p2g2 also takes mgblk [NG, 1, G*EP] and params [6])."""
+    """Deposit blocks in ROW-GROUPED layout: out [NG, G*CHP, EP], tile j of a
+    group owning sublane rows [j*CHP, (j+1)*CHP) — a [NG*G, CHP, EP] reshape
+    needs NO transpose on the XLA side.  Channels: mass+momentum (1+D) for
+    mode='p2g1', force (D) for mode='p2g2' (which also takes
+    mgblk [NG, G, EP] — halo'd mass, one row per tile — and params [6]);
+    unused rows of the CHP pad are zero."""
     T, cap, h, G = spec.tile, spec.cap, spec.halo, spec.group
     E, EP, NG, A = spec.E, spec.EP(D), spec.NG, spec.A
     F = _row_layout(D)
@@ -321,8 +330,8 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
             # contiguous tail) write zeros and skip all compute
             @pl.when(cnt == 0)
             def _(j=j):
-                out_ref[0, :, j * EP : (j + 1) * EP] = jnp.zeros(
-                    (CH, EP), jnp.float32
+                out_ref[0, j * CHP : (j + 1) * CHP, :] = jnp.zeros(
+                    (CHP, EP), jnp.float32
                 )
 
             @pl.when(cnt > 0)
@@ -339,7 +348,7 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                 if mode == "p2g1":
                     U = _deposit_values(pm, valid, dvec, bases, cap, D, h)
                 else:
-                    mrow = mg_ref[0, 0:1, j * EP : j * EP + E**D]  # [1, E^D]
+                    mrow = mg_ref[0, j : j + 1, : E**D]  # [1, E^D]
                     rho = lax.dot_general(
                         mrow, W0, (((1,), (0,)), ((), ())),
                         precision=lax.Precision.HIGHEST,
@@ -354,8 +363,8 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                     precision=lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
                 )  # [(1+D)*CH, EP]
-                out_ref[0, :, j * EP : (j + 1) * EP] = _fixup_deposit(
-                    YT, E, D, CH, EP
+                out_ref[0, j * CHP : (j + 1) * CHP, :] = _pad_rows(
+                    _fixup_deposit(YT, E, D, CH, EP), CHP
                 )
 
     n_prefetch = 2 if mode == "p2g1" else 3
@@ -364,14 +373,14 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
     ]
     if mode == "p2g2":
         in_specs.append(
-            pl.BlockSpec((1, 1, G * EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, G, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(NG,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, CH, G * EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, G * CHP, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
     )
 
@@ -385,7 +394,7 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((NG, CH, G * EP), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((NG, G * CHP, EP), jnp.float32),
             interpret=spec.interpret,
         )(*args)
 
@@ -427,7 +436,8 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
                 pm, tid, T, E, h, tshape, origin, cap
             )
             W0 = _kernel_window(plains, E, cap, D)  # [E^D, cap]
-            gb = gblk_ref[0, :, j * EP : j * EP + E3]  # [1+D, E^D]: v rows, m row
+            # row-grouped gblk: tile j's rows, [v(D), m] then zero pad
+            gb = gblk_ref[0, j * CHP : j * CHP + 1 + D, :E3]  # [1+D, E^D]
             es = _lane_e_coords(E, D, 1)
             # BcatT rows: v(D), e_0*v(D), ..., e_{D-1}*v(D), m -> [(1+D)D+1, E^D]
             nb = (1 + D) * D + 1
@@ -479,7 +489,19 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
 
             mass = pm[2 * D + D * D, :]
             pid = pm[2 * D + D * D + 1, :]
-            rows = newpos + v + newC + [mass, pid, rho, pressure]
+
+            # drift flag: 1.0 where the NEW cell leaves the drift window
+            # [1-h, T-2+h] — the next substep's deposits would fall outside
+            # the bin tile's expanded window, so the frame must re-bin
+            flag = jnp.zeros((cap,), jnp.float32)
+            for d in range(D):
+                cn = jnp.floor(newpos[d]).astype(jnp.int32)
+                coord = _tile_coord(tid, d, tshape)
+                lcn = cn - (origin[d] + coord * T)
+                bad = (lcn < 1 - h) | (lcn > T - 2 + h)
+                flag = jnp.maximum(flag, bad.astype(jnp.float32))
+
+            rows = newpos + v + newC + [mass, pid, rho, pressure, flag]
             out = _rows_stack(rows, cap)
             out_ref[0, :, j * cap : (j + 1) * cap] = jnp.where(
                 valid[None, :], out, 0.0
@@ -505,7 +527,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
         grid=(NG,),
         in_specs=[
             pl.BlockSpec((1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1 + D, G * EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * CHP, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
@@ -597,25 +619,27 @@ def _unflatten(idx: jnp.ndarray, shape) -> jnp.ndarray:
 
 
 def _blocks_to_dense(blocks, tid, nt: int, spec: StreamSpec, D: int, CH: int):
-    """[NG, CH, G*EP] kernel output -> dense [*tshape, CH, E, .., E]."""
+    """[NG, G*CHP, EP] kernel output -> dense [nt, CH*E^D] (flat).
+
+    The row-grouped layout reshapes straight to per-tile blocks — no
+    transpose (XLA transposes measured ~10ms at 1M scale)."""
     E, EP, G, A = spec.E, spec.EP(D), spec.group, spec.A
     E3 = E**D
-    NG = spec.NG
-    x = blocks.reshape(NG, CH, G, EP).transpose(0, 2, 1, 3).reshape(A, CH, EP)
-    x = x[:, :, :E3].reshape(A, CH * E3)
+    x = blocks.reshape(A, CHP, EP)[:, :CH, :E3].reshape(A, CH * E3)
     dense = jnp.zeros((nt + 1, CH * E3), jnp.float32)
     dense = dense.at[jnp.clip(tid, 0, nt)].add(x, mode="drop")
     return dense[:nt]  # [nt, CH*E3]
 
 
-def _dense_to_groups(dense_flat, tid, nt: int, spec: StreamSpec, D: int, CH: int):
-    """dense [nt, CH*E^D] -> group blocks [NG, CH, G*EP]."""
+def _dense_to_groups(dense_flat, tid, nt: int, spec: StreamSpec, D: int, CH: int, rows: int = CHP):
+    """dense [nt, CH*E^D] -> row-grouped blocks [NG, G*rows, EP]
+    (rows=1 gives the mgblk layout, one row per tile)."""
     E, EP, G, A, NG = spec.E, spec.EP(D), spec.group, spec.A, spec.NG
     E3 = E**D
     x = jnp.concatenate([dense_flat, jnp.zeros((1, CH * E3), jnp.float32)], axis=0)
     act = jnp.take(x, jnp.clip(tid, 0, nt), axis=0).reshape(A, CH, E3)
-    act = jnp.pad(act, ((0, 0), (0, 0), (0, EP - E3)))
-    return act.reshape(NG, G, CH, EP).transpose(0, 2, 1, 3).reshape(NG, CH, G * EP)
+    act = jnp.pad(act, ((0, 0), (0, rows - CH), (0, EP - E3)))
+    return act.reshape(NG, G * rows, EP)
 
 
 # ---------------------------------------------------------------------------
@@ -698,6 +722,7 @@ def bin_particles(p: ParticleState, domain: Domain, spec: StreamSpec) -> StreamS
             jnp.arange(n, dtype=jnp.float32)[:, None],  # id (exact to 2^24)
             p.density[:, None],
             p.pressure[:, None],
+            jnp.zeros((n, 1), jnp.float32),  # drift flag (fresh bin: clear)
         ],
         axis=1,
     )
@@ -795,7 +820,7 @@ def substep_binned(
     # halo only the MASS channel now (p2g_2 needs it); the momentum halo is
     # deferred and fused with the force halo below (halo is linear)
     hs_m = halo_flat(dense1[:, :E3], tshape, T, E, 1)
-    mgblk = _dense_to_groups(hs_m, st.tid, nt, spec, D, 1)
+    mgblk = _dense_to_groups(hs_m, st.tid, nt, spec, D, 1, rows=1)  # [NG, G, EP]
 
     # ---- p2g_2 ------------------------------------------------------------
     params6 = jnp.asarray(
@@ -807,15 +832,22 @@ def substep_binned(
     dense2 = _blocks_to_dense(dep2, st.tid, nt, spec, D, D)
     # combined momentum+force halo: halo(mom) + halo(frc) == halo(mom + frc)
     hs_mf = halo_flat(dense1[:, E3:] + dense2, tshape, T, E, D)
-    act_mf = _dense_to_groups(hs_mf, st.tid, nt, spec, D, D)
 
-    # ---- grid update (on group blocks) -------------------------------------
+    # ---- grid update + row-grouped gblk [NG, G*CHP, EP] --------------------
+    # rows per tile: [v0..v_{D-1}, m, 0...]; built in [A, 1+D, E^D] space
+    # (flat, no transposes) then reshaped straight to the grouped layout.
     g = jnp.asarray(cfg.gravity, jnp.float32)
-    m = mgblk  # [NG, 1, G*EP]
+    A, NG, G = spec.A, spec.NG, spec.group
+    x = jnp.concatenate([hs_mf, jnp.zeros((1, D * E3), jnp.float32)], axis=0)
+    mf = jnp.take(x, jnp.clip(st.tid, 0, nt), axis=0).reshape(A, D, E3)
+    xm = jnp.concatenate([hs_m, jnp.zeros((1, E3), jnp.float32)], axis=0)
+    ma_ = jnp.take(xm, jnp.clip(st.tid, 0, nt), axis=0).reshape(A, 1, E3)
     v = jnp.where(
-        m > 0.0, act_mf / jnp.where(m > 0.0, m, 1.0) + cfg.dt * g[None, :, None], 0.0
+        ma_ > 0.0, mf / jnp.where(ma_ > 0.0, ma_, 1.0) + cfg.dt * g[None, :, None], 0.0
     )
-    gblk = jnp.concatenate([v, m], axis=1)  # [NG, 1+D, G*EP]
+    gblk = jnp.concatenate([v, ma_], axis=1)  # [A, 1+D, E3]
+    gblk = jnp.pad(gblk, ((0, 0), (0, CHP - 1 - D), (0, EP - E3)))
+    gblk = gblk.reshape(NG, G * CHP, EP)
 
     # ---- g2p + tail --------------------------------------------------------
     params = _collect_params(cfg, mouse_pos, mouse_active, D)
@@ -825,21 +857,13 @@ def substep_binned(
 
 def needs_rebin(st: StreamState, domain: Domain, spec: StreamSpec, D: int) -> jnp.ndarray:
     """True when any valid particle's NEXT deposit would fall outside its
-    bin tile's drift window (local cell outside [1-h, T-2+h])."""
-    tshape, nt = _tile_geometry(domain, spec)
-    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
-    T, h = spec.tile, spec.halo
-    origin = jnp.asarray(domain.origin, jnp.int32)
+    bin tile's drift window (local cell outside [1-h, T-2+h]).
+
+    The collect kernel writes the verdict per slot into the stream's flag
+    row (invalid slots are zeroed), so this is one cheap reduce; a freshly
+    (re-)binned stream carries a cleared flag row."""
     F = st.stream.shape[1]
-    pos = st.stream[:, :D, :].reshape(NG, D, G, cap).transpose(0, 2, 1, 3)
-    pos = pos.reshape(A, D, cap)
-    co = _unflatten(jnp.clip(st.tid, 0, nt - 1), tshape)  # [A, D]
-    cell = jnp.floor(pos).astype(jnp.int32) - origin[None, :, None]
-    lc = cell - (co * T)[:, :, None]
-    bad = (lc < 1 - h) | (lc > T - 2 + h)  # [A, D, cap]
-    s_io = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
-    valid = s_io < st.count[:, None, None]
-    return jnp.any(bad & valid)
+    return jnp.any(st.stream[:, F - 1, :] > 0.0)
 
 
 def frame_binned(
@@ -878,6 +902,7 @@ def _rebin_full(st: StreamState, cfg, domain, spec: StreamSpec, tshape, nt):
     sentinel tile, which _bin_rows never places)."""
     D = cfg.dim
     flat, slot_valid = _slots_flat(st, spec)
+    flat = flat.at[:, -1].set(0.0)  # fresh bin: clear the drift-flag row
     tid_p = _keys_from_pos(flat[:, :D], domain, spec, tshape)
     tid_p = jnp.where(slot_valid, tid_p, nt)
     return _bin_rows(flat, tid_p, spec.A * spec.cap, spec, nt)
@@ -925,7 +950,7 @@ def substep(
         jnp.float32,
     )
     hs_m = halo_flat(dense1[:, : E**D], tshape, spec.tile, E, 1)
-    mgblk = _dense_to_groups(hs_m, st.tid, nt, spec, D, 1)
+    mgblk = _dense_to_groups(hs_m, st.tid, nt, spec, D, 1, rows=1)
     dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
     dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
     dense2 = _blocks_to_dense(dep2, st.tid, nt, spec, D, D)
