@@ -124,10 +124,8 @@ def default_spec(cfg: Config, domain: Domain, n: int) -> StreamSpec:
 
 # Stream row layout (F rows).
 def _row_layout(D: int):
-    # pos[D], vel[D], C[D*D], mass, id, rho, prs, drift-flag
-    # (the flag row is written by the collect kernel: 1.0 on any slot whose
-    # NEW cell leaves the drift window — needs_rebin is then a cheap reduce)
-    return 2 * D + D * D + 5
+    # pos[D], vel[D], C[D*D], mass, id, rho, prs
+    return 2 * D + D * D + 4
 
 
 @jax.tree_util.register_dataclass
@@ -138,6 +136,9 @@ class StreamState:
     stream: jax.Array  # [NG, F, G*cap] f32
     count: jax.Array  # [A] i32 — valid slots per active tile (front-packed)
     tid: jax.Array  # [A] i32 — flat tile id (nt = empty slot-tile)
+    # [NG, G, cap] f32 — per-slot drift verdicts from the last collect
+    # (contiguous, so needs_rebin is one cheap reduce); zero after (re-)bins
+    flag: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -413,7 +414,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
     F = _row_layout(D)
     NP = 16 + 2 * D  # params length
 
-    def kernel(count_ref, tid_ref, params_ref, stream_ref, gblk_ref, out_ref):
+    def kernel(count_ref, tid_ref, params_ref, stream_ref, gblk_ref, out_ref, flag_ref):
         g = pl.program_id(0)
         dt = params_ref[0]
         rest = params_ref[1]
@@ -501,11 +502,12 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
                 bad = (lcn < 1 - h) | (lcn > T - 2 + h)
                 flag = jnp.maximum(flag, bad.astype(jnp.float32))
 
-            rows = newpos + v + newC + [mass, pid, rho, pressure, flag]
+            rows = newpos + v + newC + [mass, pid, rho, pressure]
             out = _rows_stack(rows, cap)
             out_ref[0, :, j * cap : (j + 1) * cap] = jnp.where(
                 valid[None, :], out, 0.0
             )
+            flag_ref[0, j, :] = jnp.where(valid, flag, 0.0)
 
         for j in range(G):
             a = g * G + j
@@ -517,6 +519,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
                 out_ref[0, :, j * cap : (j + 1) * cap] = jnp.zeros(
                     (F, cap), jnp.float32
                 )
+                flag_ref[0, j, :] = jnp.zeros((cap,), jnp.float32)
 
             @pl.when(cnt > 0)
             def _(j=j, a=a, cnt=cnt):
@@ -529,8 +532,13 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
             pl.BlockSpec((1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G * CHP, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, G, cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
     )
 
@@ -538,7 +546,10 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((NG, F, G * cap), jnp.float32),
+            out_shape=(
+                jax.ShapeDtypeStruct((NG, F, G * cap), jnp.float32),
+                jax.ShapeDtypeStruct((NG, G, cap), jnp.float32),
+            ),
             interpret=spec.interpret,
         )(count, tid, params, stream, gblk)
 
@@ -706,7 +717,8 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt):
     stream = (
         slot_rows.reshape(NG, G, cap, F).transpose(0, 3, 1, 2).reshape(NG, F, G * cap)
     )
-    return StreamState(stream=stream, count=count_act, tid=tid_act)
+    flag = jnp.zeros((NG, G, cap), jnp.float32)
+    return StreamState(stream=stream, count=count_act, tid=tid_act, flag=flag)
 
 
 def bin_particles(p: ParticleState, domain: Domain, spec: StreamSpec) -> StreamState:
@@ -722,7 +734,6 @@ def bin_particles(p: ParticleState, domain: Domain, spec: StreamSpec) -> StreamS
             jnp.arange(n, dtype=jnp.float32)[:, None],  # id (exact to 2^24)
             p.density[:, None],
             p.pressure[:, None],
-            jnp.zeros((n, 1), jnp.float32),  # drift flag (fresh bin: clear)
         ],
         axis=1,
     )
@@ -851,19 +862,18 @@ def substep_binned(
 
     # ---- g2p + tail --------------------------------------------------------
     params = _collect_params(cfg, mouse_pos, mouse_active, D)
-    new_stream = coll_k(st.count, st.tid, params, st.stream, gblk)
-    return StreamState(stream=new_stream, count=st.count, tid=st.tid)
+    new_stream, flag = coll_k(st.count, st.tid, params, st.stream, gblk)
+    return StreamState(stream=new_stream, count=st.count, tid=st.tid, flag=flag)
 
 
 def needs_rebin(st: StreamState, domain: Domain, spec: StreamSpec, D: int) -> jnp.ndarray:
     """True when any valid particle's NEXT deposit would fall outside its
     bin tile's drift window (local cell outside [1-h, T-2+h]).
 
-    The collect kernel writes the verdict per slot into the stream's flag
-    row (invalid slots are zeroed), so this is one cheap reduce; a freshly
-    (re-)binned stream carries a cleared flag row."""
-    F = st.stream.shape[1]
-    return jnp.any(st.stream[:, F - 1, :] > 0.0)
+    The collect kernel writes per-slot verdicts into the contiguous flag
+    output (invalid slots zeroed), so this is one cheap reduce; a freshly
+    (re-)binned stream carries a cleared flag."""
+    return jnp.any(st.flag > 0.0)
 
 
 def frame_binned(
@@ -902,7 +912,6 @@ def _rebin_full(st: StreamState, cfg, domain, spec: StreamSpec, tshape, nt):
     sentinel tile, which _bin_rows never places)."""
     D = cfg.dim
     flat, slot_valid = _slots_flat(st, spec)
-    flat = flat.at[:, -1].set(0.0)  # fresh bin: clear the drift-flag row
     tid_p = _keys_from_pos(flat[:, :D], domain, spec, tshape)
     tid_p = jnp.where(slot_valid, tid_p, nt)
     return _bin_rows(flat, tid_p, spec.A * spec.cap, spec, nt)
