@@ -114,10 +114,23 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
     n = p.pos.shape[-2]
 
     if backend == "stream":
+        import dataclasses as _dc
+
+        from fluid_tpu import scene as scene_mod
         from fluid_tpu.ops import stream_transfer as stx
 
-        spec = _stream_spec(cfg, dom, n)
-        over = int(stx.overflow_count(p.pos[0] if batch else p.pos, dom, spec))
+        if batch:
+            # scenes packed side by side along x: DP becomes plain extra-N
+            # for the spatial backend (per-scene walls via scene_stride)
+            p, dom, stride = scene_mod.pack_scenes(p, cfg)
+            spec = _dc.replace(
+                _stream_spec(cfg, dom, n * batch), scene_stride=stride
+            )
+            batch = None  # packed: single flat run from here on
+            n = p.pos.shape[0]
+        else:
+            spec = _stream_spec(cfg, dom, n)
+        over = int(stx.overflow_count(p.pos, dom, spec))
         if over:
             print(f"# stream spec overflow at t=0: {over}", file=sys.stderr)
 
@@ -200,7 +213,7 @@ CONFIGS = {
     "3d-ref": (3, 4096, 10, None, "3d_reference_frame", ("stream", "tiled", "dense")),
     "2d-100k": (2, 100_000, 5, None, "2d_100k", ("stream", "tiled")),
     "3d-1m": (3, 1_000_000, 3, None, "3d_1m", ("stream", "tiled", "pallas")),
-    "batch-64": (3, 4096, 3, 64, "3d_reference_frame", ("tiled", "sorted")),
+    "batch-64": (3, 4096, 3, 64, "3d_reference_frame", ("stream", "tiled")),
 }
 
 

@@ -83,6 +83,9 @@ class StreamSpec:
     halo: int = 2  # h: window reach beyond the tile; E = T + 2h
     group: int = 8  # G: tiles per kernel program
     active: int = 64  # A: active-tile budget (rounded up to a group multiple)
+    # packed-scene stride along x (scene.pack_scenes): per-scene walls at
+    # [k*stride + clip_lo_x, k*stride + clip_hi_x]; 0 = single scene
+    scene_stride: float = 0.0
     interpret: bool = False  # run kernels in interpreter mode (CPU tests)
 
     def __post_init__(self):
@@ -428,6 +431,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
         my = params_ref[9]
         clip_lo = [params_ref[10 + d] for d in range(D)]
         clip_hi = [params_ref[10 + D + d] for d in range(D)]
+        stride = params_ref[10 + 2 * D]  # packed-scene stride (0 = off)
 
         def _collect_tile(j, a, cnt):
             pm = stream_ref[0, :, j * cap : (j + 1) * cap]
@@ -477,12 +481,21 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
             v[0] = v[0] + jnp.where(hit, dx * inv, 0.0)
             v[1] = v[1] + jnp.where(hit, dy * inv, 0.0)
 
-            # clamp + soft wall (quirk Q2: un-scaled lookahead, 2d:302-325)
+            # clamp + soft wall (quirk Q2: un-scaled lookahead, 2d:302-325);
+            # packed scenes (scene.pack_scenes) shift the x walls by the
+            # owning scene's offset — particles stay > 2*halo cells away
+            # from scene boundaries, so floor(x/stride) is stable
+            sbase = jnp.where(
+                stride > 0.0,
+                jnp.floor(newpos[0] / jnp.maximum(stride, 1.0)) * stride,
+                0.0,
+            )
             for d in range(D):
-                p_cl = jnp.clip(newpos[d], clip_lo[d], clip_hi[d])
+                off = sbase if d == 0 else 0.0
+                p_cl = jnp.clip(newpos[d], clip_lo[d] + off, clip_hi[d] + off)
                 nxt = p_cl + v[d]
-                wmin = clip_lo[d] + bdamp
-                wmax = clip_hi[d] - bdamp
+                wmin = clip_lo[d] + off + bdamp
+                wmax = clip_hi[d] + off - bdamp
                 vv = v[d] + jnp.where(nxt < wmin, wmin - nxt, 0.0)
                 vv = vv + jnp.where(nxt > wmax, wmax - nxt, 0.0)
                 newpos[d] = p_cl
@@ -782,13 +795,13 @@ def unbin(st: StreamState, domain: Domain, spec: StreamSpec, n: int, D: int) -> 
 # ---------------------------------------------------------------------------
 
 
-def _collect_params(cfg: Config, mouse_pos, mouse_active, D: int):
+def _collect_params(cfg: Config, mouse_pos, mouse_active, D: int, stride: float = 0.0):
     lo, hi = cfg.boundary_clip
     base = jnp.asarray(
         [
             cfg.dt, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power,
             cfg.pressure_floor, cfg.mouse_radius, cfg.boundary_damp_dist,
-            0.0, 0.0, 0.0, *lo, *hi,
+            0.0, 0.0, 0.0, *lo, *hi, stride,
         ],
         jnp.float32,
     )
@@ -861,7 +874,7 @@ def substep_binned(
     gblk = gblk.reshape(NG, G * CHP, EP)
 
     # ---- g2p + tail --------------------------------------------------------
-    params = _collect_params(cfg, mouse_pos, mouse_active, D)
+    params = _collect_params(cfg, mouse_pos, mouse_active, D, spec.scene_stride)
     new_stream, flag = coll_k(st.count, st.tid, params, st.stream, gblk)
     return StreamState(stream=new_stream, count=st.count, tid=st.tid, flag=flag)
 

@@ -107,3 +107,54 @@ def test_stream_mouse_matches_dense():
     b, _ = jax.jit(lambda q: stx.substep(q, cfg, dom, mp, ma, spec))(p)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-5)
+
+
+def test_packed_scenes_match_per_scene_dense():
+    """scene.pack_scenes: B scenes side-by-side in one domain must evolve
+    exactly like B independent dense simulations (per-scene walls)."""
+    import math
+
+    from fluid_tpu import scene as scene_mod
+    from fluid_tpu.config import default_3d
+
+    cfg = default_3d().replace(
+        boundary_clip=((0.0,) * 3, (32.0,) * 3), grid_res=16
+    )
+    B, n = 3, 128
+    key = jax.random.key(5)
+    pos = jax.random.uniform(key, (B, n, 3), jnp.float32, 8.0, 24.0)
+    pb = jax.vmap(ParticleState.create)(pos)
+    vel = jax.random.normal(jax.random.key(6), pb.vel.shape) * 2.0
+    import dataclasses as _dc
+
+    pb = _dc.replace(pb, vel=vel)
+
+    packed, dom, stride = scene_mod.pack_scenes(pb, cfg)
+    nt = math.prod(s // 4 for s in dom.shape)
+    spec = stx.StreamSpec(
+        tile=4, cap=128, halo=2, group=8, active=nt,
+        scene_stride=stride, interpret=True,
+    )
+    assert int(stx.overflow_count(packed.pos, dom, spec)) == 0
+    mp, ma = step.no_mouse()
+    out = stx.frame(packed, cfg, dom, mp, ma, spec, substeps=4)
+    got = scene_mod.unpack_scenes(out, B, n, stride)
+
+    # reference: each scene independently through the dense backend
+    sdom = make_domain(cfg, halo_cells=4)
+
+    @jax.jit
+    def dense4(q):
+        def body(_, q):
+            return step.substep(q, cfg, sdom, mp, ma)[0]
+
+        return jax.lax.fori_loop(0, 4, body, q)
+
+    for b in range(B):
+        want = dense4(jax.tree.map(lambda a: a[b], pb))
+        np.testing.assert_allclose(
+            np.asarray(got.pos[b]), np.asarray(want.pos), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.vel[b]), np.asarray(want.vel), atol=1e-3
+        )
