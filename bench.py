@@ -95,12 +95,15 @@ def _stream_spec(cfg, dom, n):
 
     T = 4
     per_tile = cfg.rest_density * T**cfg.dim
-    # 2x initial occupancy: the settling fluid expands into the domain
-    # margin (measured: 1.25x saturates at 3d-1m and re-bins drop particles)
-    occupied = max(8, int(n / max(per_tile, 1.0) * 2.0))
+    # 32x the rest-density tile estimate: reference box scenes spread across
+    # the whole floor and the active set is cube-DILATED (measured dilated
+    # peaks: 3d-ref 21x, batch-64 11x the estimate).  Full-occupancy scaled
+    # scenes cap at nt anyway.  110k hard cap keeps the SMEM scalar-prefetch
+    # arrays (count+tid, 8B/tile) under the ~1MB budget.
+    occupied = max(2048, int(n / max(per_tile, 1.0)) * 32)
     nt = math.prod(s // T for s in dom.shape)
     return stx.StreamSpec(
-        tile=T, cap=128, halo=2, group=8, active=min(occupied, nt)
+        tile=T, cap=128, halo=2, group=8, active=min(occupied, nt, 110_000)
     )
 
 

@@ -116,11 +116,15 @@ def default_spec(cfg: Config, domain: Domain, n: int) -> StreamSpec:
     interpreter mode (tests); real compilation is TPU-only."""
     T = 4
     per_tile = cfg.rest_density * T**cfg.dim
-    occupied = max(8, int(n / max(per_tile, 1.0) * 1.25))
+    # 32x the rest-density tile estimate: box scenes spread across the whole
+    # floor and the active set is cube-DILATED (measured dilated peaks: 21x
+    # the estimate at the 3D reference dam-break).  110k hard cap keeps the
+    # SMEM scalar-prefetch arrays (count+tid, 8B/tile) under ~1MB.
+    occupied = max(2048, int(n / max(per_tile, 1.0)) * 32)
     nt = math.prod(s // T for s in domain.shape)
     interpret = jax.default_backend() == "cpu"
     return StreamSpec(
-        tile=T, cap=128, halo=2, group=8, active=min(occupied, nt),
+        tile=T, cap=128, halo=2, group=8, active=min(occupied, nt, 110_000),
         interpret=interpret,
     )
 
@@ -142,6 +146,12 @@ class StreamState:
     # [NG, G, cap] f32 — per-slot drift verdicts from the last collect
     # (contiguous, so needs_rebin is one cheap reduce); zero after (re-)bins
     flag: jax.Array
+    # [3^D - 1, A] i32 — active index of every cube neighbor (A = "no
+    # active neighbor" sentinel).  Rebuilt at (re-)bin time; lets the halo
+    # run as a direct active-major pull, so NOTHING in the substep scales
+    # with the dense tile count nt (at batch-64 the packed domain has 373k
+    # tiles but only ~23k active).
+    nbr: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -634,6 +644,43 @@ def halo_flat(x: jnp.ndarray, tshape, T: int, E: int, CH: int) -> jnp.ndarray:
     return x
 
 
+def halo_pull(x: jnp.ndarray, nbr: jnp.ndarray, tshape, T: int, E: int) -> jnp.ndarray:
+    """Overlap-add across neighboring tiles, entirely in ACTIVE-major form.
+
+    x: [A, CH*E^D] deposit windows of the active tiles (lane order
+    (ch, e_0, .., e_{D-1})); nbr: [2*D, A] face table from ``_nbr_table``.
+    Separable axis passes, same math as ``halo_flat`` (both directions of an
+    axis read the pre-pass snapshot), with the dense row shifts replaced by
+    A-row gathers through nbr — nothing here scales with the dense tile
+    count nt.  Correctness of diagonal flows relies on the active set being
+    cube-dilated (``_dilate``): the relay tiles exist as zero-count actives.
+    (A 26-term direct pull needs no dilation but measured ~4x slower — 26
+    full-array gathers against 6.)"""
+    D = len(tshape)
+    A, L = x.shape
+    E3 = E**D
+    l_io = jnp.arange(L, dtype=jnp.int32)[None, :] % E3
+
+    def lane_shift(y, k):
+        if k > 0:
+            return jnp.concatenate(
+                [jnp.zeros((y.shape[0], k), y.dtype), y[:, :-k]], axis=1
+            )
+        return jnp.concatenate([y[:, -k:], jnp.zeros((y.shape[0], -k), y.dtype)], axis=1)
+
+    for d in range(D):
+        lstride = E ** (D - 1 - d)
+        e_d = (l_io // lstride) % E
+        xp = jnp.concatenate([x, jnp.zeros((1, L), x.dtype)], axis=0)
+        # from the +1 neighbor: my e_d in [T, E) += nbr's value at e_d - T
+        y = lane_shift(jnp.take(xp, nbr[2 * d], axis=0), T * lstride)
+        acc = x + jnp.where(e_d >= T, y, 0.0)
+        # from the -1 neighbor: my e_d in [0, E-T) += nbr's value at e_d + T
+        y = lane_shift(jnp.take(xp, nbr[2 * d + 1], axis=0), -T * lstride)
+        x = acc + jnp.where(e_d < E - T, y, 0.0)
+    return x
+
+
 def _unflatten(idx: jnp.ndarray, shape) -> jnp.ndarray:
     out = []
     for d in range(len(shape) - 1, -1, -1):
@@ -688,7 +735,58 @@ def _keys_from_pos(pos, domain: Domain, spec: StreamSpec, tshape):
     return _flatten_coords(cell // spec.tile, tshape)
 
 
-def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt):
+def _nbr_table(tid_act, tshape, nt: int, A: int):
+    """[2*D, A] active index of every active tile's +/- face neighbors.
+
+    inv (tile id -> active index, A = not-active sentinel) is built with one
+    [A] scatter — the ONLY nt-sized work outside binning itself; the
+    separable push halo then runs active-major through this table.  Face
+    neighbors suffice because the active set is CUBE-DILATED at bin time
+    (``_dilate``): every relay tile on a diagonal deposit path is a cube
+    neighbor of the occupied source, hence active."""
+    D = len(tshape)
+    inv = jnp.full((nt + 1,), A, jnp.int32)
+    inv = inv.at[jnp.clip(tid_act, 0, nt)].min(
+        jnp.where(tid_act < nt, jnp.arange(A, dtype=jnp.int32), A)
+    )
+    ok = tid_act < nt
+    out = []
+    for d in range(D):
+        rs = math.prod(tshape[d + 1 :])
+        coord = (tid_act // rs) % tshape[d]
+        idp = jnp.where(ok & (coord < tshape[d] - 1), tid_act + rs, nt)
+        idm = jnp.where(ok & (coord > 0), tid_act - rs, nt)
+        out.append(jnp.take(inv, idp))
+        out.append(jnp.take(inv, idm))
+    return jnp.stack(out, axis=0)
+
+
+def _dilate(occ, tshape):
+    """Cube-dilate a [nt] bool occupancy map (separable +/-1 max filter).
+
+    Bin-time only, O(nt) bool ops — the price of keeping the per-substep
+    halo separable (6 gathers) instead of a 26-term direct pull (measured
+    ~4x slower at 3d-1m): every diagonal deposit flow routes through
+    intermediate tiles that are cube neighbors of the occupied source, so
+    dilation makes them active (zero-count, compute-skipped) relays."""
+    o = occ.reshape(tshape)
+    D = len(tshape)
+    for d in range(D):
+        z = [slice(None)] * D
+        lo = list(z)
+        hi = list(z)
+        lo[d] = slice(1, None)
+        hi[d] = slice(None, -1)
+        shp = list(o.shape)
+        shp[d] = 1
+        pad = jnp.zeros(shp, o.dtype)
+        o = o | jnp.concatenate([o[tuple(lo)], pad], axis=d) | jnp.concatenate(
+            [pad, o[tuple(hi)]], axis=d
+        )
+    return o.reshape(-1)
+
+
+def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape):
     """rows [N, F] + tile ids -> (stream, count, tid) slot structure.
 
     GATHER-only (row scatter measures ~10x slower than gather on v5e):
@@ -701,14 +799,17 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt):
 
     order = jnp.argsort(tid_of_particle)
     sid = jnp.take(tid_of_particle, order)
-    ranks = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
-    start = jnp.full((nt + 2,), n, jnp.int32)
-    start = start.at[jnp.clip(sid, 0, nt + 1)].min(jnp.where(first, ranks, n))
-    start = lax.cummin(start[::-1])[::-1]
+    # start[t] = first sorted rank with tile id >= t.  merge-sort-based
+    # searchsorted (a ~32k+n sort) beats the equivalent [n]-value
+    # scatter-min + cummin (~25 ms at 1M on v5e).
+    start = jnp.searchsorted(
+        sid, jnp.arange(nt + 2, dtype=sid.dtype), side="left", method="sort"
+    ).astype(jnp.int32)
     count_t = (start[1:] - start[:-1])[:nt]  # real tiles only
 
-    occ = count_t > 0
+    # active set = cube-DILATED occupancy: zero-count shell tiles act as
+    # halo relays (see _dilate); kernels skip them via count == 0
+    occ = _dilate(count_t > 0, tshape)
     occ_rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
     act_of_tile = jnp.where(occ & (occ_rank < A), occ_rank, A)
     tid_act = jnp.full((A,), -1, jnp.int32)
@@ -731,7 +832,10 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt):
         slot_rows.reshape(NG, G, cap, F).transpose(0, 3, 1, 2).reshape(NG, F, G * cap)
     )
     flag = jnp.zeros((NG, G, cap), jnp.float32)
-    return StreamState(stream=stream, count=count_act, tid=tid_act, flag=flag)
+    return StreamState(
+        stream=stream, count=count_act, tid=tid_act, flag=flag,
+        nbr=_nbr_table(tid_act, tshape, nt, A),
+    )
 
 
 def bin_particles(p: ParticleState, domain: Domain, spec: StreamSpec) -> StreamState:
@@ -751,7 +855,7 @@ def bin_particles(p: ParticleState, domain: Domain, spec: StreamSpec) -> StreamS
         axis=1,
     )
     tid_p = _keys_from_pos(p.pos, domain, spec, tshape)
-    return _bin_rows(rows, tid_p, n, spec, nt)
+    return _bin_rows(rows, tid_p, n, spec, nt, tshape)
 
 
 def _slots_flat(st: StreamState, spec: StreamSpec):
@@ -768,18 +872,42 @@ def _slots_flat(st: StreamState, spec: StreamSpec):
     return flat, slot_valid
 
 
+def _compact_rows(st: StreamState, spec: StreamSpec, n: int):
+    """Valid slots -> dense rows [n, F] (slot order = tile-sorted order).
+
+    Slots are front-packed per tile, so valid slot i of the run is tile
+    ``a = searchsorted(cumsum(count), i)`` at slot ``i - start_a`` — one
+    [A]-prefix-sum + one n-row gather, never touching the (A*cap - n)
+    empty slots.  This is what keeps re-binning O(n) instead of O(slots)
+    (at 3d-1m: 4M slots hold 1M particles; the slot-shaped re-bin measured
+    282 ms, the compacted one ~80 ms)."""
+    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
+    F = st.stream.shape[1]
+    flat = (
+        st.stream.reshape(NG, F, G, cap).transpose(0, 2, 3, 1).reshape(A * cap, F)
+    )
+    cum = jnp.cumsum(st.count)
+    i = jnp.arange(n, dtype=jnp.int32)
+    # method='sort' = one merge-sort over n+A keys (~7 ms at 1M); the
+    # default 'scan' method measured 116 ms for 1M queries on v5e.
+    a = jnp.searchsorted(cum, i, side="right", method="sort").astype(jnp.int32)
+    a = jnp.clip(a, 0, A - 1)
+    start = cum - st.count
+    src = a * cap + (i - jnp.take(start, a))
+    # i >= sum(count) (possible only if particles were lost, which strict
+    # mode forbids) clips into the last tile's pad slots — zero rows.
+    return jnp.take(flat, jnp.clip(src, 0, A * cap - 1), axis=0)
+
+
 def unbin(st: StreamState, domain: Domain, spec: StreamSpec, n: int, D: int) -> ParticleState:
     """Stream -> ParticleState in ORIGINAL particle order (via the id row).
 
-    Gather-only: sort slot keys (id for valid slots, unique big sentinels
-    for the rest) and take the first n rows — those are the particles in
-    ascending-id = original order."""
-    A, cap = spec.A, spec.cap
-    flat, slot_valid = _slots_flat(st, spec)
-    ids = flat[:, 2 * D + D * D + 1].astype(jnp.int32)
-    keys = jnp.where(slot_valid, ids, n + jnp.arange(A * cap, dtype=jnp.int32))
-    order = jnp.argsort(keys)[:n]
-    out = jnp.take(flat, order, axis=0)
+    Gather-only and O(n): compact the valid slots to [n, F] rows, then one
+    n-key argsort on the id row restores original order."""
+    rows = _compact_rows(st, spec, n)
+    ids = rows[:, 2 * D + D * D + 1].astype(jnp.int32)
+    order = jnp.argsort(ids)
+    out = jnp.take(rows, order, axis=0)
     return ParticleState(
         pos=out[:, 0:D],
         vel=out[:, D : 2 * D],
@@ -838,13 +966,14 @@ def substep_binned(
     # (2d_multi.rs:165-167) without any masking work.
 
     # ---- p2g_1 ------------------------------------------------------------
-    dep1 = dep1_k(st.count, st.tid, st.stream)  # [NG, 1+D, G*EP]
-    dense1 = _blocks_to_dense(dep1, st.tid, nt, spec, D, 1 + D)
+    A, NG, G = spec.A, spec.NG, spec.group
     E3 = E**D
+    dep1 = dep1_k(st.count, st.tid, st.stream)  # [NG, G*CHP, EP]
+    blk1 = dep1.reshape(A, CHP, EP)[:, : 1 + D, :E3]  # [A, 1+D, E3]
     # halo only the MASS channel now (p2g_2 needs it); the momentum halo is
     # deferred and fused with the force halo below (halo is linear)
-    hs_m = halo_flat(dense1[:, :E3], tshape, T, E, 1)
-    mgblk = _dense_to_groups(hs_m, st.tid, nt, spec, D, 1, rows=1)  # [NG, G, EP]
+    hs_m = halo_pull(blk1[:, 0, :], st.nbr, tshape, T, E)  # [A, E3]
+    mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
 
     # ---- p2g_2 ------------------------------------------------------------
     params6 = jnp.asarray(
@@ -853,19 +982,17 @@ def substep_binned(
         jnp.float32,
     )
     dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
-    dense2 = _blocks_to_dense(dep2, st.tid, nt, spec, D, D)
+    blk2 = dep2.reshape(A, CHP, EP)[:, :D, :E3]  # [A, D, E3]
     # combined momentum+force halo: halo(mom) + halo(frc) == halo(mom + frc)
-    hs_mf = halo_flat(dense1[:, E3:] + dense2, tshape, T, E, D)
+    hs_mf = halo_pull(
+        (blk1[:, 1:, :] + blk2).reshape(A, D * E3), st.nbr, tshape, T, E
+    )
 
     # ---- grid update + row-grouped gblk [NG, G*CHP, EP] --------------------
-    # rows per tile: [v0..v_{D-1}, m, 0...]; built in [A, 1+D, E^D] space
-    # (flat, no transposes) then reshaped straight to the grouped layout.
+    # rows per tile: [v0..v_{D-1}, m, 0...] — all active-major, no gathers.
     g = jnp.asarray(cfg.gravity, jnp.float32)
-    A, NG, G = spec.A, spec.NG, spec.group
-    x = jnp.concatenate([hs_mf, jnp.zeros((1, D * E3), jnp.float32)], axis=0)
-    mf = jnp.take(x, jnp.clip(st.tid, 0, nt), axis=0).reshape(A, D, E3)
-    xm = jnp.concatenate([hs_m, jnp.zeros((1, E3), jnp.float32)], axis=0)
-    ma_ = jnp.take(xm, jnp.clip(st.tid, 0, nt), axis=0).reshape(A, 1, E3)
+    mf = hs_mf.reshape(A, D, E3)
+    ma_ = hs_m.reshape(A, 1, E3)
     v = jnp.where(
         ma_ > 0.0, mf / jnp.where(ma_ > 0.0, ma_, 1.0) + cfg.dt * g[None, :, None], 0.0
     )
@@ -876,7 +1003,9 @@ def substep_binned(
     # ---- g2p + tail --------------------------------------------------------
     params = _collect_params(cfg, mouse_pos, mouse_active, D, spec.scene_stride)
     new_stream, flag = coll_k(st.count, st.tid, params, st.stream, gblk)
-    return StreamState(stream=new_stream, count=st.count, tid=st.tid, flag=flag)
+    return StreamState(
+        stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr
+    )
 
 
 def needs_rebin(st: StreamState, domain: Domain, spec: StreamSpec, D: int) -> jnp.ndarray:
@@ -897,37 +1026,42 @@ def frame_binned(
     mouse_pos,
     mouse_active,
     substeps: Optional[int] = None,
+    n: Optional[int] = None,
 ) -> StreamState:
-    """cfg.iterations substeps with drift-triggered conditional re-binning."""
+    """cfg.iterations substeps with drift-triggered conditional re-binning.
+
+    ``n`` is the live particle count (static; defaults to the full slot
+    count, which is always safe but makes re-bins O(slots) — frame() passes
+    the real n for the O(n) compacted re-bin)."""
     tshape, nt = _tile_geometry(domain, spec)
     n_sub = cfg.iterations if substeps is None else substeps
-    n_slots = spec.A * spec.cap
+    n_c = spec.A * spec.cap if n is None else n
 
     def body(_, st):
         st = substep_binned(st, cfg, domain, spec, mouse_pos, mouse_active)
-        total = st.count.sum()
-
-        def do_rebin(st):
-            # total valid particles is dynamic; _rebin needs static n — use
-            # the slot count as the compaction width (invalid slots sort to
-            # the tail and scatter to the drop row via id=n sentinel).
-            return _rebin_full(st, cfg, domain, spec, tshape, nt)
-
         return lax.cond(
-            needs_rebin(st, domain, spec, cfg.dim), do_rebin, lambda s: s, st
+            needs_rebin(st, domain, spec, cfg.dim),
+            lambda s: _rebin_full(s, cfg, domain, spec, tshape, nt, n_c),
+            lambda s: s,
+            st,
         )
 
     return lax.fori_loop(0, n_sub, body, st)
 
 
-def _rebin_full(st: StreamState, cfg, domain, spec: StreamSpec, tshape, nt):
-    """Static-shape re-bin over ALL slots (invalid slots key to the nt
-    sentinel tile, which _bin_rows never places)."""
+def _rebin_full(st: StreamState, cfg, domain, spec: StreamSpec, tshape, nt, n: int):
+    """Static-shape re-bin, O(n): compact the valid slots to [n, F] rows,
+    then re-run the sort+slot-fill binning.  ``n`` must equal the live
+    particle count (the strict-mode invariant sum(count) == n)."""
     D = cfg.dim
-    flat, slot_valid = _slots_flat(st, spec)
-    tid_p = _keys_from_pos(flat[:, :D], domain, spec, tshape)
-    tid_p = jnp.where(slot_valid, tid_p, nt)
-    return _bin_rows(flat, tid_p, spec.A * spec.cap, spec, nt)
+    rows = _compact_rows(st, spec, n)
+    tid_p = _keys_from_pos(rows[:, :D], domain, spec, tshape)
+    # rows beyond the live count (possible only when n overestimates, e.g.
+    # after a strict-contract violation) key to the nt sentinel tile, which
+    # _bin_rows never places — no duplicated particles.
+    live = jnp.arange(n, dtype=jnp.int32) < st.count.sum()
+    tid_p = jnp.where(live, tid_p, nt)
+    return _bin_rows(rows, tid_p, n, spec, nt, tshape)
 
 
 # ---------------------------------------------------------------------------
@@ -998,7 +1132,9 @@ def frame(
     if spec is None:
         spec = default_spec(cfg, domain, p.n)
     st = bin_particles(p, domain, spec)
-    st = frame_binned(st, cfg, domain, spec, mouse_pos, mouse_active, substeps)
+    st = frame_binned(
+        st, cfg, domain, spec, mouse_pos, mouse_active, substeps, n=p.n
+    )
     return unbin(st, domain, spec, p.n, p.dim)
 
 
@@ -1015,8 +1151,12 @@ def overflow_count(pos: jnp.ndarray, domain: Domain, spec: StreamSpec) -> jnp.nd
     start = start.at[sid].min(jnp.where(first, ranks, n))
     start = lax.cummin(start[::-1])[::-1]
     count_t = start[1:] - start[:-1]
-    occ_rank = jnp.cumsum((count_t > 0).astype(jnp.int32)) - 1
+    # active budget check mirrors binning: the DILATED occupancy must fit A
+    # in full — a dropped zero-count shell tile would silently break a halo
+    # relay path, so over-budget shell tiles count as overflow too.
+    dil = _dilate(count_t > 0, tshape).astype(jnp.int32)
+    occ_rank = jnp.cumsum(dil) - 1
     s_rank = ranks - jnp.take(start[:-1], sid)
     a_rank = jnp.take(occ_rank, sid)
     frozen = (s_rank >= spec.cap) | (a_rank >= spec.A)
-    return frozen.sum()
+    return frozen.sum() + jnp.maximum(0, dil.sum() - spec.A)
