@@ -167,6 +167,14 @@ def _tile_coord(tid, d: int, tshape):
 
 
 def _kernel_profiles(pm, tid, T: int, E: int, h: int, tshape, origin, cap: int):
+    """Profiles from a stream block's pos rows (see _kernel_profiles_from)."""
+    D = len(tshape)
+    return _kernel_profiles_from(
+        [pm[d, :] for d in range(D)], tid, T, E, h, tshape, origin, cap
+    )
+
+
+def _kernel_profiles_from(pos, tid, T: int, E: int, h: int, tshape, origin, cap: int):
     """Per-axis plain profiles [E, cap], window-local cell base, dvec.
 
     Window coordinate e maps to global cell ``tile_origin + e - h``; a
@@ -176,7 +184,7 @@ def _kernel_profiles(pm, tid, T: int, E: int, h: int, tshape, origin, cap: int):
     D = len(tshape)
     plains, bases, dvec = [], [], []
     for d in range(D):
-        pos_d = pm[d, :]
+        pos_d = pos[d]
         cell = jnp.floor(pos_d)
         coord = _tile_coord(tid, d, tshape)
         lc = cell.astype(jnp.int32) - (origin[d] + coord * T)
@@ -240,15 +248,21 @@ def _pad_rows(x, rows: int):
 
 
 def _deposit_values(pm, valid, dvec, bases, cap: int, D: int, h: int):
+    """Ucat [(1+D)*(1+D), cap] from a stream block (see _deposit_values_from)."""
+    vel = [pm[D + d, :] for d in range(D)]
+    Cm = [[pm[2 * D + i * D + j, :] for j in range(D)] for i in range(D)]
+    mass = jnp.where(valid, pm[2 * D + D * D, :], 0.0)
+    return _deposit_values_from(vel, Cm, mass, dvec, bases, cap, D)
+
+
+def _deposit_values_from(vel, Cm, mass, dvec, bases, cap: int, D: int):
     """Ucat [(1+D)*(1+D), cap]: groups [U0, V1..VD] for the one-window form.
 
     Tap value m(v + C dpos), dpos = -dvec + (o-1); with the window identity
     the moment coefficient becomes (e_d - base_d - 1)  [base = lc + h - 1,
-    so e_d - base - 1 = o - 1 at the tap rows].
+    so e_d - base - 1 = o - 1 at the tap rows].  ``mass`` must already be
+    masked to valid lanes; vel/Cm are per-axis [cap] vectors.
     """
-    vel = [pm[D + d, :] for d in range(D)]
-    Cm = [[pm[2 * D + i * D + j, :] for j in range(D)] for i in range(D)]
-    mass = jnp.where(valid, pm[2 * D + D * D, :], 0.0)
     Aval = []
     for i in range(D):
         cd = Cm[i][0] * dvec[0]
@@ -420,14 +434,26 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
 # ---------------------------------------------------------------------------
 
 
-def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
+def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bool = False):
+    """g2p + particle tail -> next stream.  With ``fused_p2g1`` the kernel
+    ALSO emits the NEXT substep's p2g_1 deposit blocks from the just-updated
+    particle state (one stream read + one window build instead of two; the
+    fused output is only valid while no particle drifted out of its window —
+    exactly the condition tracked by the drift flag, so frame_binned
+    recomputes a standalone p2g_1 after any re-bin)."""
     T, cap, h, G = spec.tile, spec.cap, spec.halo, spec.group
     E, EP, NG, A = spec.E, spec.EP(D), spec.NG, spec.A
     E3 = E**D
     F = _row_layout(D)
     NP = 16 + 2 * D  # params length
 
-    def kernel(count_ref, tid_ref, params_ref, stream_ref, gblk_ref, out_ref, flag_ref):
+    def kernel(*refs):
+        if fused_p2g1:
+            (count_ref, tid_ref, params_ref, stream_ref, gblk_ref,
+             out_ref, flag_ref, dep_ref) = refs
+        else:
+            (count_ref, tid_ref, params_ref, stream_ref, gblk_ref,
+             out_ref, flag_ref) = refs
         g = pl.program_id(0)
         dt = params_ref[0]
         rest = params_ref[1]
@@ -532,6 +558,26 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
             )
             flag_ref[0, j, :] = jnp.where(valid, flag, 0.0)
 
+            if fused_p2g1:
+                # next substep's p2g_1 from the NEW state (same tile frame)
+                plains2, bases2, dvec2 = _kernel_profiles_from(
+                    newpos, tid, T, E, h, tshape, origin, cap
+                )
+                vf = valid.astype(jnp.float32)[None, :]
+                W0n = _kernel_window(plains2, E, cap, D) * vf
+                Cm_new = [[newC[i * D + dd] for dd in range(D)] for i in range(D)]
+                U = _deposit_values_from(
+                    v, Cm_new, jnp.where(valid, mass, 0.0), dvec2, bases2, cap, D
+                )
+                YT = lax.dot_general(
+                    U, _pad_rows(W0n, EP), (((1,), (1,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                dep_ref[0, j * CHP : (j + 1) * CHP, :] = _pad_rows(
+                    _fixup_deposit(YT, E, D, 1 + D, EP), CHP
+                )
+
         for j in range(G):
             a = g * G + j
             cnt = count_ref[a]
@@ -543,6 +589,10 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
                     (F, cap), jnp.float32
                 )
                 flag_ref[0, j, :] = jnp.zeros((cap,), jnp.float32)
+                if fused_p2g1:
+                    dep_ref[0, j * CHP : (j + 1) * CHP, :] = jnp.zeros(
+                        (CHP, EP), jnp.float32
+                    )
 
             @pl.when(cnt > 0)
             def _(j=j, a=a, cnt=cnt):
@@ -562,17 +612,33 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin):
             pl.BlockSpec(
                 (1, G, cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
+        )
+        + (
+            (
+                pl.BlockSpec(
+                    (1, G * CHP, EP), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            )
+            if fused_p2g1
+            else ()
         ),
     )
+
+    out_shape = (
+        jax.ShapeDtypeStruct((NG, F, G * cap), jnp.float32),
+        jax.ShapeDtypeStruct((NG, G, cap), jnp.float32),
+    )
+    if fused_p2g1:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((NG, G * CHP, EP), jnp.float32),
+        )
 
     def call(count, tid, params, stream, gblk):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((NG, F, G * cap), jnp.float32),
-                jax.ShapeDtypeStruct((NG, G, cap), jnp.float32),
-            ),
+            out_shape=out_shape,
             interpret=spec.interpret,
         )(count, tid, params, stream, gblk)
 
@@ -948,15 +1014,43 @@ def substep_binned(
     mouse_active,
 ) -> StreamState:
     """One MLS-MPM substep entirely on the persistent stream layout."""
-    D = cfg.dim
+    dep1_k = make_deposit_kernel(
+        spec, cfg.dim, *_geom(domain, spec)[:2], "p2g1"
+    )
+    st, _ = _substep_core(
+        st, dep1_k(st.count, st.tid, st.stream), cfg, domain, spec,
+        mouse_pos, mouse_active, fused=False,
+    )
+    return st
+
+
+def _geom(domain: Domain, spec: StreamSpec):
     tshape, nt = _tile_geometry(domain, spec)
-    origin = tuple(int(o) for o in domain.origin)
+    return tshape, tuple(int(o) for o in domain.origin), nt
+
+
+def _substep_core(
+    st: StreamState,
+    dep1,
+    cfg: Config,
+    domain: Domain,
+    spec: StreamSpec,
+    mouse_pos,
+    mouse_active,
+    fused: bool,
+):
+    """Substep body given this substep's p2g_1 blocks.
+
+    ``fused=True`` uses the collect kernel that also emits the NEXT
+    substep's p2g_1 (valid only while no drift flag fires); returns
+    (state, dep1_next-or-None)."""
+    D = cfg.dim
+    tshape, origin, nt = _geom(domain, spec)
     T, E, h = spec.tile, spec.E, spec.halo
     EP = spec.EP(D)
 
-    dep1_k = make_deposit_kernel(spec, D, tshape, origin, "p2g1")
     dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
-    coll_k = make_collect_kernel(spec, D, tshape, origin)
+    coll_k = make_collect_kernel(spec, D, tshape, origin, fused_p2g1=fused)
 
     # No edge mask: positions are clamped to boundary_clip, which sits >= 1
     # cell inside the dense grid (make_domain enforces halo_cells >= 1), so
@@ -968,7 +1062,6 @@ def substep_binned(
     # ---- p2g_1 ------------------------------------------------------------
     A, NG, G = spec.A, spec.NG, spec.group
     E3 = E**D
-    dep1 = dep1_k(st.count, st.tid, st.stream)  # [NG, G*CHP, EP]
     blk1 = dep1.reshape(A, CHP, EP)[:, : 1 + D, :E3]  # [A, 1+D, E3]
     # halo only the MASS channel now (p2g_2 needs it); the momentum halo is
     # deferred and fused with the force halo below (halo is linear)
@@ -1002,10 +1095,13 @@ def substep_binned(
 
     # ---- g2p + tail --------------------------------------------------------
     params = _collect_params(cfg, mouse_pos, mouse_active, D, spec.scene_stride)
-    new_stream, flag = coll_k(st.count, st.tid, params, st.stream, gblk)
-    return StreamState(
+    outs = coll_k(st.count, st.tid, params, st.stream, gblk)
+    new_stream, flag = outs[0], outs[1]
+    dep1_next = outs[2] if fused else None
+    st2 = StreamState(
         stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr
     )
+    return st2, dep1_next
 
 
 def needs_rebin(st: StreamState, domain: Domain, spec: StreamSpec, D: int) -> jnp.ndarray:
@@ -1033,20 +1129,32 @@ def frame_binned(
     ``n`` is the live particle count (static; defaults to the full slot
     count, which is always safe but makes re-bins O(slots) — frame() passes
     the real n for the O(n) compacted re-bin)."""
-    tshape, nt = _tile_geometry(domain, spec)
+    tshape, origin, nt = _geom(domain, spec)
     n_sub = cfg.iterations if substeps is None else substeps
     n_c = spec.A * spec.cap if n is None else n
+    dep1_k = make_deposit_kernel(spec, cfg.dim, tshape, origin, "p2g1")
 
-    def body(_, st):
-        st = substep_binned(st, cfg, domain, spec, mouse_pos, mouse_active)
+    def body(_, carry):
+        st, dep1 = carry
+        st, dep1_next = _substep_core(
+            st, dep1, cfg, domain, spec, mouse_pos, mouse_active, fused=True
+        )
+
+        def do_rebin(st):
+            # fused dep1 is stale after a re-bin: recompute standalone
+            st2 = _rebin_full(st, cfg, domain, spec, tshape, nt, n_c)
+            return st2, dep1_k(st2.count, st2.tid, st2.stream)
+
         return lax.cond(
             needs_rebin(st, domain, spec, cfg.dim),
-            lambda s: _rebin_full(s, cfg, domain, spec, tshape, nt, n_c),
-            lambda s: s,
+            do_rebin,
+            lambda s: (s, dep1_next),
             st,
         )
 
-    return lax.fori_loop(0, n_sub, body, st)
+    dep1_0 = dep1_k(st.count, st.tid, st.stream)
+    st, _ = lax.fori_loop(0, n_sub, body, (st, dep1_0))
+    return st
 
 
 def _rebin_full(st: StreamState, cfg, domain, spec: StreamSpec, tshape, nt, n: int):
