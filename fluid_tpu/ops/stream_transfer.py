@@ -72,6 +72,7 @@ def _pad128(x: int) -> int:
 
 
 CHP = 8  # per-tile channel rows in block arrays, padded to the f32 sublane tile
+GROWS = 4  # per-tile rows in the grid-value (gblk) array: v[D], mass, pad
 
 
 @dataclasses.dataclass(frozen=True)
@@ -358,8 +359,8 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
             # contiguous tail) write zeros and skip all compute
             @pl.when(cnt == 0)
             def _(j=j):
-                out_ref[0, j * CHP : (j + 1) * CHP, :] = jnp.zeros(
-                    (CHP, EP), jnp.float32
+                out_ref[0, j * GROWS : (j + 1) * GROWS, :] = jnp.zeros(
+                    (GROWS, EP), jnp.float32
                 )
 
             @pl.when(cnt > 0)
@@ -391,8 +392,8 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                     precision=lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
                 )  # [(1+D)*CH, EP]
-                out_ref[0, j * CHP : (j + 1) * CHP, :] = _pad_rows(
-                    _fixup_deposit(YT, E, D, CH, EP), CHP
+                out_ref[0, j * GROWS : (j + 1) * GROWS, :] = _pad_rows(
+                    _fixup_deposit(YT, E, D, CH, EP), GROWS
                 )
 
     n_prefetch = 2 if mode == "p2g1" else 3
@@ -408,7 +409,7 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
         grid=(NG,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, G * CHP, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, G * GROWS, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
     )
 
@@ -422,7 +423,7 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((NG, G * CHP, EP), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((NG, G * GROWS, EP), jnp.float32),
             interpret=spec.interpret,
         )(*args)
 
@@ -478,7 +479,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
             )
             W0 = _kernel_window(plains, E, cap, D)  # [E^D, cap]
             # row-grouped gblk: tile j's rows, [v(D), m] then zero pad
-            gb = gblk_ref[0, j * CHP : j * CHP + 1 + D, :E3]  # [1+D, E^D]
+            gb = gblk_ref[0, j * GROWS : j * GROWS + 1 + D, :E3]  # [1+D, E^D]
             es = _lane_e_coords(E, D, 1)
             # BcatT rows: v(D), e_0*v(D), ..., e_{D-1}*v(D), m -> [(1+D)D+1, E^D]
             nb = (1 + D) * D + 1
@@ -574,8 +575,8 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                     precision=lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
                 )
-                dep_ref[0, j * CHP : (j + 1) * CHP, :] = _pad_rows(
-                    _fixup_deposit(YT, E, D, 1 + D, EP), CHP
+                dep_ref[0, j * GROWS : (j + 1) * GROWS, :] = _pad_rows(
+                    _fixup_deposit(YT, E, D, 1 + D, EP), GROWS
                 )
 
         for j in range(G):
@@ -590,8 +591,8 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                 )
                 flag_ref[0, j, :] = jnp.zeros((cap,), jnp.float32)
                 if fused_p2g1:
-                    dep_ref[0, j * CHP : (j + 1) * CHP, :] = jnp.zeros(
-                        (CHP, EP), jnp.float32
+                    dep_ref[0, j * GROWS : (j + 1) * GROWS, :] = jnp.zeros(
+                        (GROWS, EP), jnp.float32
                     )
 
             @pl.when(cnt > 0)
@@ -603,7 +604,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
         grid=(NG,),
         in_specs=[
             pl.BlockSpec((1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G * CHP, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * GROWS, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -616,7 +617,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
         + (
             (
                 pl.BlockSpec(
-                    (1, G * CHP, EP), lambda t, *_: (t, 0, 0),
+                    (1, G * GROWS, EP), lambda t, *_: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             )
@@ -631,7 +632,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
     )
     if fused_p2g1:
         out_shape = out_shape + (
-            jax.ShapeDtypeStruct((NG, G * CHP, EP), jnp.float32),
+            jax.ShapeDtypeStruct((NG, G * GROWS, EP), jnp.float32),
         )
 
     def call(count, tid, params, stream, gblk):
@@ -747,6 +748,146 @@ def halo_pull(x: jnp.ndarray, nbr: jnp.ndarray, tshape, T: int, E: int) -> jnp.n
     return x
 
 
+def _halo_group(A: int) -> int:
+    """Tiles per halo-kernel program: fat programs amortize the ~550ns
+    per-program dispatch (A is always a multiple of the transfer group)."""
+    for g in (32, 16, 8, 4, 2, 1):
+        if A % g == 0:
+            return g
+    return 1
+
+
+def _make_halo_axis(spec: StreamSpec, D: int, axis: int, CH: int):
+    """One separable push-halo axis pass as a Pallas kernel.
+
+    x [A, CH*E^D] -> same shape with the +/- face neighbors' overlap added
+    along ``axis``.  Math identical to the matching ``halo_pull`` pass: the
+    lane shift by T*stride_d becomes a full-width ``pltpu.roll`` — globally
+    wrapped (or cross-channel) lanes are exactly the masked-out ones, since
+    a target lane with e_d >= T has flat-e index >= T*stride_d (resp.
+    e_d < E-T => index < E^D - T*stride_d), so its roll source never leaves
+    the channel block.  Neighbor rows arrive by per-row DMA through the
+    face table (the XLA gather form measures ~200 GB/s effective at 3d-1m;
+    this kernel reads each fat [1, CH*E^D] row once at DMA bandwidth)."""
+    T, E, A = spec.tile, spec.E, spec.A
+    E3 = E**D
+    L = CH * E3
+    S = L // 128  # x is rank-3 [A, S, 128]: dim 0 untiled => per-row DMA ok
+    lstride = E ** (D - 1 - axis)
+    shift = T * lstride
+    GH = _halo_group(A)
+
+    def kernel(nbp_ref, nbm_ref, own_ref, x_ref, o_ref, scrp, scrm, semp, semm):
+        g = pl.program_id(0)
+        base = g * GH
+
+        def dma(idx, scr, sem, j):
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(idx, 1)], scr.at[pl.ds(j, 1)], sem.at[j]
+            )
+
+        for j in range(GH):
+            idp = nbp_ref[base + j]
+            idm = nbm_ref[base + j]
+
+            @pl.when(idp < A)
+            def _(j=j, idp=idp):
+                dma(idp, scrp, semp, j).start()
+
+            @pl.when(idp >= A)
+            def _(j=j):
+                scrp[j] = jnp.zeros((S, 128), jnp.float32)
+
+            @pl.when(idm < A)
+            def _(j=j, idm=idm):
+                dma(idm, scrm, semm, j).start()
+
+            @pl.when(idm >= A)
+            def _(j=j):
+                scrm[j] = jnp.zeros((S, 128), jnp.float32)
+
+        for j in range(GH):
+            idp = nbp_ref[base + j]
+            idm = nbm_ref[base + j]
+
+            @pl.when(idp < A)
+            def _(j=j, idp=idp):
+                dma(idp, scrp, semp, j).wait()
+
+            @pl.when(idm < A)
+            def _(j=j, idm=idm):
+                dma(idm, scrm, semm, j).wait()
+
+        s_io = lax.broadcasted_iota(jnp.int32, (GH, S, 128), 1)
+        l_io = lax.broadcasted_iota(jnp.int32, (GH, S, 128), 2)
+        le = (s_io * 128 + l_io) % E3
+        e_d = (le // lstride) % E
+
+        def flat_roll(y, k):
+            # roll by k over the flattened (S*128) trailing dims:
+            # out[f] = in[(f - k) mod L].  Wrapped lanes land only where the
+            # e_d masks below are zero (a target lane with e_d >= T has flat
+            # e-index >= T*lstride, so its source stays in range).
+            q, r = divmod(k % L, 128)
+            r1 = pltpu.roll(y, r, 2)
+            r2 = pltpu.roll(r1, q, 1)
+            if r == 0:
+                return r2
+            r3 = pltpu.roll(r1, q + 1, 1)
+            return jnp.where(l_io >= r, r2, r3)
+
+        o_ref[...] = (
+            own_ref[...]
+            + jnp.where(e_d >= T, flat_roll(scrp[...], shift), 0.0)
+            + jnp.where(e_d < E - T, flat_roll(scrm[...], -shift), 0.0)
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(A // GH,),
+        in_specs=[
+            pl.BlockSpec(
+                (GH, S, 128), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (GH, S, 128), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((GH, S, 128), jnp.float32),
+            pltpu.VMEM((GH, S, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((GH,)),
+            pltpu.SemaphoreType.DMA((GH,)),
+        ],
+    )
+
+    def call(x3, nbp, nbm):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((A, S, 128), jnp.float32),
+            interpret=spec.interpret,
+        )(nbp, nbm, x3, x3)
+
+    return call
+
+
+def halo_stream(x: jnp.ndarray, nbr: jnp.ndarray, tshape, spec: StreamSpec, D: int, CH: int):
+    """Active-major overlap-add: Pallas axis passes when the per-channel
+    window is lane-aligned (E^D % 128 == 0, i.e. 3D) and the rows are fat
+    enough to beat the XLA gather form (measured at 3d-1m: m+f L=1536
+    15.7 -> 9.6 ms, but mass L=512 4.2 -> 5.5 ms — narrow rows are
+    DMA-latency-bound), else the XLA gather form."""
+    if spec.E**D % 128 or CH * spec.E**D < 1024:
+        return halo_pull(x, nbr, tshape, spec.tile, spec.E)
+    A, L = x.shape
+    x3 = x.reshape(A, L // 128, 128)
+    for d in range(D):
+        x3 = _make_halo_axis(spec, D, d, CH)(x3, nbr[2 * d], nbr[2 * d + 1])
+    return x3.reshape(A, L)
+
+
 def _unflatten(idx: jnp.ndarray, shape) -> jnp.ndarray:
     out = []
     for d in range(len(shape) - 1, -1, -1):
@@ -762,7 +903,7 @@ def _blocks_to_dense(blocks, tid, nt: int, spec: StreamSpec, D: int, CH: int):
     transpose (XLA transposes measured ~10ms at 1M scale)."""
     E, EP, G, A = spec.E, spec.EP(D), spec.group, spec.A
     E3 = E**D
-    x = blocks.reshape(A, CHP, EP)[:, :CH, :E3].reshape(A, CH * E3)
+    x = blocks.reshape(A, GROWS, EP)[:, :CH, :E3].reshape(A, CH * E3)
     dense = jnp.zeros((nt + 1, CH * E3), jnp.float32)
     dense = dense.at[jnp.clip(tid, 0, nt)].add(x, mode="drop")
     return dense[:nt]  # [nt, CH*E3]
@@ -1062,10 +1203,10 @@ def _substep_core(
     # ---- p2g_1 ------------------------------------------------------------
     A, NG, G = spec.A, spec.NG, spec.group
     E3 = E**D
-    blk1 = dep1.reshape(A, CHP, EP)[:, : 1 + D, :E3]  # [A, 1+D, E3]
+    blk1 = dep1.reshape(A, GROWS, EP)[:, : 1 + D, :E3]  # [A, 1+D, E3]
     # halo only the MASS channel now (p2g_2 needs it); the momentum halo is
     # deferred and fused with the force halo below (halo is linear)
-    hs_m = halo_pull(blk1[:, 0, :], st.nbr, tshape, T, E)  # [A, E3]
+    hs_m = halo_stream(blk1[:, 0, :], st.nbr, tshape, spec, D, 1)  # [A, E3]
     mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
 
     # ---- p2g_2 ------------------------------------------------------------
@@ -1075,10 +1216,10 @@ def _substep_core(
         jnp.float32,
     )
     dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
-    blk2 = dep2.reshape(A, CHP, EP)[:, :D, :E3]  # [A, D, E3]
+    blk2 = dep2.reshape(A, GROWS, EP)[:, :D, :E3]  # [A, D, E3]
     # combined momentum+force halo: halo(mom) + halo(frc) == halo(mom + frc)
-    hs_mf = halo_pull(
-        (blk1[:, 1:, :] + blk2).reshape(A, D * E3), st.nbr, tshape, T, E
+    hs_mf = halo_stream(
+        (blk1[:, 1:, :] + blk2).reshape(A, D * E3), st.nbr, tshape, spec, D, D
     )
 
     # ---- grid update + row-grouped gblk [NG, G*CHP, EP] --------------------
@@ -1090,8 +1231,8 @@ def _substep_core(
         ma_ > 0.0, mf / jnp.where(ma_ > 0.0, ma_, 1.0) + cfg.dt * g[None, :, None], 0.0
     )
     gblk = jnp.concatenate([v, ma_], axis=1)  # [A, 1+D, E3]
-    gblk = jnp.pad(gblk, ((0, 0), (0, CHP - 1 - D), (0, EP - E3)))
-    gblk = gblk.reshape(NG, G * CHP, EP)
+    gblk = jnp.pad(gblk, ((0, 0), (0, GROWS - 1 - D), (0, EP - E3)))
+    gblk = gblk.reshape(NG, G * GROWS, EP)
 
     # ---- g2p + tail --------------------------------------------------------
     params = _collect_params(cfg, mouse_pos, mouse_active, D, spec.scene_stride)
