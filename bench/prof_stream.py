@@ -85,7 +85,7 @@ def main():
     E = spec.E
     E3 = E ** D
     EP = spec.EP(D)
-    CHP = stx.CHP
+    GROWS = stx.GROWS
     A, NG, G = spec.A, spec.NG, spec.group
 
     dep1_j = jax.jit(lambda c, t, s: dep1_k(c, t, s))
@@ -93,10 +93,10 @@ def main():
     print(f"dep1 kernel:     {t_dep1*1e3:8.2f} ms")
     dep1 = jax.block_until_ready(dep1_j(st.count, st.tid, st.stream))
 
-    blk1_j = jax.jit(lambda b: b.reshape(A, CHP, EP)[:, :1 + D, :E3])
+    blk1_j = jax.jit(lambda b: b.reshape(A, GROWS, EP)[:, :1 + D, :E3])
     blk1 = jax.block_until_ready(blk1_j(dep1))
 
-    hm_j = jax.jit(lambda b, nb: stx.halo_pull(b[:, 0, :], nb, tshape, spec.tile, E))
+    hm_j = jax.jit(lambda b, nb: stx.halo_stream(b[:, 0, :], nb, tshape, spec, D, 1))
     t_hm = timeit(hm_j, blk1, st.nbr, reps=r)
     print(f"halo_pull(mass): {t_hm*1e3:8.2f} ms")
     hs_m = jax.block_until_ready(hm_j(blk1, st.nbr))
@@ -112,9 +112,9 @@ def main():
     print(f"dep2 kernel:     {t_dep2*1e3:8.2f} ms")
     dep2 = jax.block_until_ready(dep2_j(st.count, st.tid, st.stream, mgblk))
 
-    hmf_j = jax.jit(lambda b1, b2, nb: stx.halo_pull(
-        (b1[:, 1:, :] + b2.reshape(A, CHP, EP)[:, :D, :E3]).reshape(A, D * E3),
-        nb, tshape, spec.tile, E))
+    hmf_j = jax.jit(lambda b1, b2, nb: stx.halo_stream(
+        (b1[:, 1:, :] + b2.reshape(A, GROWS, EP)[:, :D, :E3]).reshape(A, D * E3),
+        nb, tshape, spec, D, D))
     t_hmf = timeit(hmf_j, blk1, dep2, st.nbr, reps=r)
     print(f"halo_pull(m+f):  {t_hmf*1e3:8.2f} ms")
     hs_mf = jax.block_until_ready(hmf_j(blk1, dep2, st.nbr))
@@ -126,8 +126,8 @@ def main():
         v = jnp.where(ma_ > 0.0, mf / jnp.where(ma_ > 0.0, ma_, 1.0)
                       + cfg.dt * g[None, :, None], 0.0)
         gb = jnp.concatenate([v, ma_], axis=1)
-        gb = jnp.pad(gb, ((0, 0), (0, CHP - 1 - D), (0, EP - E3)))
-        return gb.reshape(NG, G * CHP, EP)
+        gb = jnp.pad(gb, ((0, 0), (0, GROWS - 1 - D), (0, EP - E3)))
+        return gb.reshape(NG, G * GROWS, EP)
 
     gb_j = jax.jit(gblk_fn)
     t_gb = timeit(gb_j, hs_mf, hs_m, reps=r)

@@ -993,24 +993,31 @@ def _dilate(occ, tshape):
     return o.reshape(-1)
 
 
-def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape):
+def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=None):
     """rows [N, F] + tile ids -> (stream, count, tid) slot structure.
 
     GATHER-only (row scatter measures ~10x slower than gather on v5e):
-    sort keys, derive per-active-tile start offsets, and fill slots with one
-    [A*cap]-row gather through order.  Tile ids >= nt are treated as
+    sort keys, materialize the rows in tile-sorted order (ONE random n-row
+    gather), then fill slots with a MONOTONIC [A*cap]-row gather — per-tile
+    slot ranges are contiguous in the sorted array, and v5e row gathers
+    from (nearly) sequential addresses measure ~3x faster than random ones
+    (31 vs ~100 ms at 4M rows; multi-row slice gathers via lax.gather are
+    20x WORSE — measured 689-886 ms — don't retry).  Tile ids >= nt are
     "invalid row" sentinels (used by re-binning) and never land in a tile.
+    ``row_idx`` (optional, [n] into rows) composes a prior compaction into
+    the same gather: sorted row i is rows[row_idx[order[i]]].
     """
     cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
     F = rows.shape[1]
 
     order = jnp.argsort(tid_of_particle)
     sid = jnp.take(tid_of_particle, order)
-    # start[t] = first sorted rank with tile id >= t.  merge-sort-based
-    # searchsorted (a ~32k+n sort) beats the equivalent [n]-value
-    # scatter-min + cummin (~25 ms at 1M on v5e).
+    # start[t] = first sorted rank with tile id >= t.  scan_unrolled binary
+    # search wins for ~32k queries over 1M keys (7.1 ms vs sort-method's
+    # 10.5 and scatter-min + cummin's ~25 on v5e).
     start = jnp.searchsorted(
-        sid, jnp.arange(nt + 2, dtype=sid.dtype), side="left", method="sort"
+        sid, jnp.arange(nt + 2, dtype=sid.dtype), side="left",
+        method="scan_unrolled",
     ).astype(jnp.int32)
     count_t = (start[1:] - start[:-1])[:nt]  # real tiles only
 
@@ -1027,13 +1034,16 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape):
     count_act = jnp.take(jnp.append(count_t, 0), jnp.clip(tid_act, 0, nt))
     count_act = jnp.minimum(count_act, cap)
 
-    # slot fill: one wide-row gather (sorted ranges are contiguous per tile)
+    # slot fill via wide-chunk gathers over tile-sorted rows
     act_start = jnp.take(start[:-1], jnp.clip(tid_act, 0, nt))
     s_io = jnp.arange(cap, dtype=jnp.int32)
-    bidx = act_start[:, None] + s_io[None, :]  # [A, cap]
     valid = s_io[None, :] < count_act[:, None]
-    bsrc = jnp.take(order, jnp.clip(bidx, 0, n - 1).ravel())
-    slot_rows = jnp.take(rows, bsrc, axis=0).reshape(A, cap, F)
+    perm = order if row_idx is None else jnp.take(row_idx, order)
+    srows = jnp.take(rows, perm, axis=0)  # [n, F] tile-sorted
+    bidx = act_start[:, None] + s_io[None, :]  # [A, cap], monotonic
+    slot_rows = jnp.take(
+        srows, jnp.clip(bidx, 0, n - 1).ravel(), axis=0
+    ).reshape(A, cap, F)
     slot_rows = jnp.where(valid[..., None], slot_rows, 0.0)
     stream = (
         slot_rows.reshape(NG, G, cap, F).transpose(0, 3, 1, 2).reshape(NG, F, G * cap)
@@ -1079,6 +1089,20 @@ def _slots_flat(st: StreamState, spec: StreamSpec):
     return flat, slot_valid
 
 
+def _compact_src(count, n: int, cap: int, A: int):
+    """[n] flat slot index of the i-th live particle (slot order).
+
+    Tile of rank i = #{t: cum[t] <= i}: a one-hot histogram of the cumsum
+    boundaries + prefix sum (3.5 ms at 1M on v5e; the searchsorted form
+    measured 17-28 ms)."""
+    cum = jnp.cumsum(count)
+    b = jnp.zeros((n + 1,), jnp.int32).at[jnp.clip(cum, 0, n)].add(1, mode="drop")
+    a = jnp.clip(jnp.cumsum(b)[:n], 0, A - 1)
+    i = jnp.arange(n, dtype=jnp.int32)
+    start = cum - count
+    return jnp.clip(a * cap + (i - jnp.take(start, a)), 0, A * cap - 1)
+
+
 def _compact_rows(st: StreamState, spec: StreamSpec, n: int):
     """Valid slots -> dense rows [n, F] (slot order = tile-sorted order).
 
@@ -1093,17 +1117,9 @@ def _compact_rows(st: StreamState, spec: StreamSpec, n: int):
     flat = (
         st.stream.reshape(NG, F, G, cap).transpose(0, 2, 3, 1).reshape(A * cap, F)
     )
-    cum = jnp.cumsum(st.count)
-    i = jnp.arange(n, dtype=jnp.int32)
-    # method='sort' = one merge-sort over n+A keys (~7 ms at 1M); the
-    # default 'scan' method measured 116 ms for 1M queries on v5e.
-    a = jnp.searchsorted(cum, i, side="right", method="sort").astype(jnp.int32)
-    a = jnp.clip(a, 0, A - 1)
-    start = cum - st.count
-    src = a * cap + (i - jnp.take(start, a))
     # i >= sum(count) (possible only if particles were lost, which strict
     # mode forbids) clips into the last tile's pad slots — zero rows.
-    return jnp.take(flat, jnp.clip(src, 0, A * cap - 1), axis=0)
+    return jnp.take(flat, _compact_src(st.count, n, cap, A), axis=0)
 
 
 def unbin(st: StreamState, domain: Domain, spec: StreamSpec, n: int, D: int) -> ParticleState:
@@ -1299,18 +1315,31 @@ def frame_binned(
 
 
 def _rebin_full(st: StreamState, cfg, domain, spec: StreamSpec, tshape, nt, n: int):
-    """Static-shape re-bin, O(n): compact the valid slots to [n, F] rows,
-    then re-run the sort+slot-fill binning.  ``n`` must equal the live
-    particle count (the strict-mode invariant sum(count) == n)."""
+    """Static-shape re-bin, O(n): derive the live slots' flat indices (the
+    same searchsorted compaction as ``_compact_rows``), gather only the
+    POSITIONS narrowly to key+sort, then hand the flat slot array plus the
+    composed index map to ``_bin_rows`` — one full-row gather total instead
+    of compact-then-sort's two.  ``n`` must equal the live particle count
+    (the strict-mode invariant sum(count) == n)."""
     D = cfg.dim
-    rows = _compact_rows(st, spec, n)
-    tid_p = _keys_from_pos(rows[:, :D], domain, spec, tshape)
+    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
+    F = st.stream.shape[1]
+    flat = (
+        st.stream.reshape(NG, F, G, cap).transpose(0, 2, 3, 1).reshape(A * cap, F)
+    )
+    src = _compact_src(st.count, n, cap, A)
+    # keys computed ELEMENTWISE over all slots straight off the stream's
+    # field rows (no transpose, no row gather), then one scalar take
+    # through src — replaces a 1M-row take + keys (37.8 -> ~6 ms)
+    pos_rows = [st.stream[:, d, :].reshape(-1) for d in range(D)]
+    tid_slot = _keys_from_pos(jnp.stack(pos_rows, axis=-1), domain, spec, tshape)
+    tid_p = jnp.take(tid_slot, src)
     # rows beyond the live count (possible only when n overestimates, e.g.
     # after a strict-contract violation) key to the nt sentinel tile, which
     # _bin_rows never places — no duplicated particles.
     live = jnp.arange(n, dtype=jnp.int32) < st.count.sum()
     tid_p = jnp.where(live, tid_p, nt)
-    return _bin_rows(rows, tid_p, n, spec, nt, tshape)
+    return _bin_rows(flat, tid_p, n, spec, nt, tshape, row_idx=src)
 
 
 # ---------------------------------------------------------------------------
