@@ -133,7 +133,7 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
             n = p.pos.shape[0]
         else:
             spec = _stream_spec(cfg, dom, n)
-        over = int(stx.overflow_count(p.pos, dom, spec))
+        over = int(stx.overflow_count(p.pos, dom, spec, vel=p.vel, dt=cfg.dt))
         if over:
             print(f"# stream spec overflow at t=0: {over}", file=sys.stderr)
 
@@ -190,9 +190,12 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
         from fluid_tpu.ops import stream_transfer as stx
 
         if batch:
-            over = max(int(stx.overflow_count(p.pos[i], dom, spec)) for i in range(batch))
+            over = max(
+                int(stx.overflow_count(p.pos[i], dom, spec, vel=p.vel[i], dt=cfg.dt))
+                for i in range(batch)
+            )
         else:
-            over = int(stx.overflow_count(p.pos, dom, spec))
+            over = int(stx.overflow_count(p.pos, dom, spec, vel=p.vel, dt=cfg.dt))
     elif backend in ("tiled", "pallas"):
         if batch:
             over = max(int(tt.overflow_count(p.pos[i], dom, spec)) for i in range(batch))

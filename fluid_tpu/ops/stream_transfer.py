@@ -344,6 +344,13 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
     E, EP, NG, A = spec.E, spec.EP(D), spec.NG, spec.A
     F = _row_layout(D)
     CH = 1 + D if mode == "p2g1" else D
+    # rank-3 halo-native output (3D): each channel's E^D window splits into
+    # S1 sublanes x 128 lanes via an in-kernel reshape, so the halo kernels
+    # and all XLA glue operate on [A, ch*S1, 128] with NO relayout copies
+    r3 = spec.E**D % 128 == 0
+    S1 = spec.E**D // 128 if r3 else 0
+    RT = GROWS * S1 if r3 else GROWS  # output rows per tile
+    OW = 128 if r3 else EP  # output lane width
 
     def kernel(*refs):
         if mode == "p2g1":
@@ -351,65 +358,105 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
         else:
             count_ref, tid_ref, params_ref, stream_ref, mg_ref, out_ref = refs
         g = pl.program_id(0)
+        GL = G * cap
+        E3 = E**D
+
+        # group-vectorized lane metadata: the VPU-heavy window/profile/value
+        # builds run ONCE on [*, G*cap] arrays (per-tile [*, cap] ops in a
+        # G-loop leave the 8x128 VPU mostly idle); only the MXU matmuls and
+        # output writes stay per tile
+        l_io = lax.broadcasted_iota(jnp.int32, (1, GL), 1)[0]
+        s_io = l_io % cap
+        grp = l_io // cap
+        tid_l = jnp.zeros((GL,), jnp.int32)
+        cnt_l = jnp.zeros((GL,), jnp.int32)
+        tot = count_ref[g * G]
         for j in range(G):
             a = g * G + j
-            cnt = count_ref[a]
+            tid_l = jnp.where(grp == j, tid_ref[a], tid_l)
+            cnt_l = jnp.where(grp == j, count_ref[a], cnt_l)
+            if j > 0:
+                tot = tot + count_ref[a]
+        valid = s_io < cnt_l
 
-            # empty tiles (count 0 — the compacted active list puts them in a
-            # contiguous tail) write zeros and skip all compute
-            @pl.when(cnt == 0)
-            def _(j=j):
-                out_ref[0, j * GROWS : (j + 1) * GROWS, :] = jnp.zeros(
-                    (GROWS, EP), jnp.float32
-                )
+        @pl.when(tot == 0)
+        def _():
+            out_ref[0] = jnp.zeros((G * RT, OW), jnp.float32)
 
-            @pl.when(cnt > 0)
-            def _(j=j, a=a, cnt=cnt):
-                pm = stream_ref[0, :, j * cap : (j + 1) * cap]
-                tid = tid_ref[a]
-                valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < cnt
-                plains, bases, dvec = _kernel_profiles(
-                    pm, tid, T, E, h, tshape, origin, cap
-                )
-                vf = valid.astype(jnp.float32)[None, :]
-                W0 = _kernel_window(plains, E, cap, D) * vf  # [E^D, cap]
-                W0p = _pad_rows(W0, EP)
-                if mode == "p2g1":
-                    U = _deposit_values(pm, valid, dvec, bases, cap, D, h)
+        @pl.when(tot > 0)
+        def _():
+            pm = stream_ref[0]  # [F, G*cap]
+            plains, bases, dvec = _kernel_profiles_from(
+                [pm[d] for d in range(D)], tid_l, T, E, h, tshape, origin, GL
+            )
+            vf = valid.astype(jnp.float32)[None, :]
+            W0 = _kernel_window(plains, E, GL, D) * vf  # [E^D, G*cap]
+            if mode == "p2g1":
+                U = _deposit_values(pm, valid, dvec, bases, GL, D, h)
+            else:
+                if r3:
+                    mrows = _rows_stack(
+                        [
+                            mg_ref[0, j * S1 : (j + 1) * S1, :].reshape(E3)
+                            for j in range(G)
+                        ],
+                        E3,
+                    )  # [G, E^D]
                 else:
-                    mrow = mg_ref[0, j : j + 1, : E**D]  # [1, E^D]
-                    rho = lax.dot_general(
-                        mrow, W0, (((1,), (0,)), ((), ())),
-                        precision=lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32,
-                    )[0]  # [cap]
-                    cfg_row = tuple(params_ref[i] for i in range(6))
-                    U, _, _ = _p2g2_values(
-                        pm, valid, dvec, bases, rho, cfg_row, cap, D
-                    )
-                YT = lax.dot_general(
-                    U, W0p, (((1,), (1,)), ((), ())),
+                    mrows = mg_ref[0, :, :E3]  # [G, E^D]
+                rho_all = lax.dot_general(
+                    mrows, W0, (((1,), (0,)), ((), ())),
                     precision=lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
-                )  # [(1+D)*CH, EP]
-                out_ref[0, j * GROWS : (j + 1) * GROWS, :] = _pad_rows(
-                    _fixup_deposit(YT, E, D, CH, EP), GROWS
+                )  # [G, G*cap] (cross-tile entries unused)
+                rho = jnp.zeros((GL,), jnp.float32)
+                for j in range(G):
+                    rho = jnp.where(grp == j, rho_all[j], rho)
+                cfg_row = tuple(params_ref[i] for i in range(6))
+                U, _, _ = _p2g2_values(
+                    pm, valid, dvec, bases, rho, cfg_row, GL, D
                 )
+            for j in range(G):
+                cnt = count_ref[g * G + j]
+
+                @pl.when(cnt == 0)
+                def _(j=j):
+                    out_ref[0, j * RT : (j + 1) * RT, :] = jnp.zeros(
+                        (RT, OW), jnp.float32
+                    )
+
+                @pl.when(cnt > 0)
+                def _(j=j):
+                    W0p = _pad_rows(W0[:, j * cap : (j + 1) * cap], EP)
+                    YT = lax.dot_general(
+                        U[:, j * cap : (j + 1) * cap], W0p,
+                        (((1,), (1,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # [(1+D)*CH, EP]
+                    blk = _fixup_deposit(YT, E, D, CH, EP)  # [CH, EP]
+                    if r3:
+                        out_ref[0, j * RT : (j + 1) * RT, :] = _pad_rows(
+                            blk.reshape(CH * S1, 128), RT
+                        )
+                    else:
+                        out_ref[0, j * RT : (j + 1) * RT, :] = _pad_rows(blk, RT)
 
     n_prefetch = 2 if mode == "p2g1" else 3
     in_specs = [
         pl.BlockSpec((1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
     ]
     if mode == "p2g2":
+        mg_block = (1, G * S1, 128) if r3 else (1, G, EP)
         in_specs.append(
-            pl.BlockSpec((1, G, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(mg_block, lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(NG,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, G * GROWS, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, G * RT, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
     )
 
@@ -423,7 +470,7 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((NG, G * GROWS, EP), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((NG, G * RT, OW), jnp.float32),
             interpret=spec.interpret,
         )(*args)
 
@@ -447,14 +494,20 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
     E3 = E**D
     F = _row_layout(D)
     NP = 16 + 2 * D  # params length
+    nb = (1 + D) * D + 1  # g2p channel rows
+    NBP = -(-nb // 8) * 8  # sublane-padded scratch rows
+    r3 = E3 % 128 == 0  # rank-3 halo-native block layout (see deposit kernel)
+    S1 = E3 // 128 if r3 else 0
+    RT = GROWS * S1 if r3 else GROWS
+    OW = 128 if r3 else EP
 
     def kernel(*refs):
         if fused_p2g1:
             (count_ref, tid_ref, params_ref, stream_ref, gblk_ref,
-             out_ref, flag_ref, dep_ref) = refs
+             out_ref, flag_ref, dep_ref, xsc) = refs
         else:
             (count_ref, tid_ref, params_ref, stream_ref, gblk_ref,
-             out_ref, flag_ref) = refs
+             out_ref, flag_ref, xsc) = refs
         g = pl.program_id(0)
         dt = params_ref[0]
         rest = params_ref[1]
@@ -470,32 +523,68 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
         clip_hi = [params_ref[10 + D + d] for d in range(D)]
         stride = params_ref[10 + 2 * D]  # packed-scene stride (0 = off)
 
-        def _collect_tile(j, a, cnt):
-            pm = stream_ref[0, :, j * cap : (j + 1) * cap]
-            tid = tid_ref[a]
-            valid = lax.broadcasted_iota(jnp.int32, (1, cap), 1)[0] < cnt
-            plains, bases, dvec = _kernel_profiles(
-                pm, tid, T, E, h, tshape, origin, cap
+        GL = G * cap
+        l_io = lax.broadcasted_iota(jnp.int32, (1, GL), 1)[0]
+        s_io = l_io % cap
+        grp = l_io // cap
+        tid_l = jnp.zeros((GL,), jnp.int32)
+        cnt_l = jnp.zeros((GL,), jnp.int32)
+        tot = count_ref[g * G]
+        for j in range(G):
+            a = g * G + j
+            tid_l = jnp.where(grp == j, tid_ref[a], tid_l)
+            cnt_l = jnp.where(grp == j, count_ref[a], cnt_l)
+            if j > 0:
+                tot = tot + count_ref[a]
+        valid = s_io < cnt_l
+
+        def _collect_group():
+            pm = stream_ref[0]  # [F, G*cap]
+            plains, bases, dvec = _kernel_profiles_from(
+                [pm[d] for d in range(D)], tid_l, T, E, h, tshape, origin, GL
             )
-            W0 = _kernel_window(plains, E, cap, D)  # [E^D, cap]
-            # row-grouped gblk: tile j's rows, [v(D), m] then zero pad
-            gb = gblk_ref[0, j * GROWS : j * GROWS + 1 + D, :E3]  # [1+D, E^D]
+            W0 = _kernel_window(plains, E, GL, D)  # [E^D, G*cap]
+
+            # per-tile g2p matmuls into the lane-concatenated scratch
             es = _lane_e_coords(E, D, 1)
-            # BcatT rows: v(D), e_0*v(D), ..., e_{D-1}*v(D), m -> [(1+D)D+1, E^D]
-            nb = (1 + D) * D + 1
             rid = lax.broadcasted_iota(jnp.int32, (nb, E3), 0)
-            Bcat = jnp.zeros((nb, E3), jnp.float32)
-            for i in range(D):
-                vi = gb[i][None, :]
-                Bcat = jnp.where(rid == i, vi, Bcat)
-                for d in range(D):
-                    Bcat = jnp.where(rid == (d + 1) * D + i, es[d] * vi, Bcat)
-            Bcat = jnp.where(rid == (1 + D) * D, gb[D][None, :], Bcat)
-            X = lax.dot_general(
-                Bcat, W0, (((1,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # [nb, cap]
+            for j in range(G):
+                cnt = count_ref[g * G + j]
+
+                @pl.when(cnt > 0)
+                def _(j=j):
+                    # row-grouped gblk: tile j's rows, [v(D), m] then pad
+                    if r3:
+                        gb = gblk_ref[0, j * RT : j * RT + (1 + D) * S1, :].reshape(
+                            1 + D, E3
+                        )
+                    else:
+                        gb = gblk_ref[0, j * GROWS : j * GROWS + 1 + D, :E3]
+                    # BcatT rows: v(D), e_0*v(D), .., e_{D-1}*v(D), m
+                    Bcat = jnp.zeros((nb, E3), jnp.float32)
+                    for i in range(D):
+                        vi = gb[i][None, :]
+                        Bcat = jnp.where(rid == i, vi, Bcat)
+                        for d in range(D):
+                            Bcat = jnp.where(
+                                rid == (d + 1) * D + i, es[d] * vi, Bcat
+                            )
+                    Bcat = jnp.where(rid == (1 + D) * D, gb[D][None, :], Bcat)
+                    Xj = lax.dot_general(
+                        Bcat, W0[:, j * cap : (j + 1) * cap],
+                        (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # [nb, cap]
+                    xsc[:, j * cap : (j + 1) * cap] = _pad_rows(Xj, NBP)
+
+                @pl.when(cnt == 0)
+                def _(j=j):
+                    xsc[:, j * cap : (j + 1) * cap] = jnp.zeros(
+                        (NBP, cap), jnp.float32
+                    )
+
+            X = xsc[...]  # [NBP, G*cap]
             v = [X[i] for i in range(D)]
             bf = [b.astype(jnp.float32) + 1.0 for b in bases]
             newC = []
@@ -544,67 +633,72 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
             # drift flag: 1.0 where the NEW cell leaves the drift window
             # [1-h, T-2+h] — the next substep's deposits would fall outside
             # the bin tile's expanded window, so the frame must re-bin
-            flag = jnp.zeros((cap,), jnp.float32)
+            flag = jnp.zeros((GL,), jnp.float32)
             for d in range(D):
                 cn = jnp.floor(newpos[d]).astype(jnp.int32)
-                coord = _tile_coord(tid, d, tshape)
+                coord = _tile_coord(tid_l, d, tshape)
                 lcn = cn - (origin[d] + coord * T)
                 bad = (lcn < 1 - h) | (lcn > T - 2 + h)
                 flag = jnp.maximum(flag, bad.astype(jnp.float32))
 
             rows = newpos + v + newC + [mass, pid, rho, pressure]
-            out = _rows_stack(rows, cap)
-            out_ref[0, :, j * cap : (j + 1) * cap] = jnp.where(
-                valid[None, :], out, 0.0
-            )
-            flag_ref[0, j, :] = jnp.where(valid, flag, 0.0)
+            out = _rows_stack(rows, GL)
+            out_ref[0] = jnp.where(valid[None, :], out, 0.0)
+            flagv = jnp.where(valid, flag, 0.0)
+            for j in range(G):
+                flag_ref[0, j, :] = flagv[j * cap : (j + 1) * cap]
 
             if fused_p2g1:
                 # next substep's p2g_1 from the NEW state (same tile frame)
                 plains2, bases2, dvec2 = _kernel_profiles_from(
-                    newpos, tid, T, E, h, tshape, origin, cap
+                    newpos, tid_l, T, E, h, tshape, origin, GL
                 )
                 vf = valid.astype(jnp.float32)[None, :]
-                W0n = _kernel_window(plains2, E, cap, D) * vf
+                W0n = _kernel_window(plains2, E, GL, D) * vf
                 Cm_new = [[newC[i * D + dd] for dd in range(D)] for i in range(D)]
                 U = _deposit_values_from(
-                    v, Cm_new, jnp.where(valid, mass, 0.0), dvec2, bases2, cap, D
+                    v, Cm_new, jnp.where(valid, mass, 0.0), dvec2, bases2, GL, D
                 )
-                YT = lax.dot_general(
-                    U, _pad_rows(W0n, EP), (((1,), (1,)), ((), ())),
-                    precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                dep_ref[0, j * GROWS : (j + 1) * GROWS, :] = _pad_rows(
-                    _fixup_deposit(YT, E, D, 1 + D, EP), GROWS
-                )
+                for j in range(G):
+                    cnt = count_ref[g * G + j]
 
-        for j in range(G):
-            a = g * G + j
-            cnt = count_ref[a]
+                    @pl.when(cnt == 0)
+                    def _(j=j):
+                        dep_ref[0, j * RT : (j + 1) * RT, :] = jnp.zeros(
+                            (RT, OW), jnp.float32
+                        )
 
-            # empty tiles: zero the output slots, skip all compute
-            @pl.when(cnt == 0)
-            def _(j=j):
-                out_ref[0, :, j * cap : (j + 1) * cap] = jnp.zeros(
-                    (F, cap), jnp.float32
-                )
-                flag_ref[0, j, :] = jnp.zeros((cap,), jnp.float32)
-                if fused_p2g1:
-                    dep_ref[0, j * GROWS : (j + 1) * GROWS, :] = jnp.zeros(
-                        (GROWS, EP), jnp.float32
-                    )
+                    @pl.when(cnt > 0)
+                    def _(j=j):
+                        YT = lax.dot_general(
+                            U[:, j * cap : (j + 1) * cap],
+                            _pad_rows(W0n[:, j * cap : (j + 1) * cap], EP),
+                            (((1,), (1,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )
+                        blk = _fixup_deposit(YT, E, D, 1 + D, EP)
+                        if r3:
+                            blk = blk.reshape((1 + D) * S1, 128)
+                        dep_ref[0, j * RT : (j + 1) * RT, :] = _pad_rows(blk, RT)
 
-            @pl.when(cnt > 0)
-            def _(j=j, a=a, cnt=cnt):
-                _collect_tile(j, a, cnt)
+        @pl.when(tot == 0)
+        def _():
+            out_ref[0] = jnp.zeros((F, GL), jnp.float32)
+            flag_ref[0] = jnp.zeros((G, cap), jnp.float32)
+            if fused_p2g1:
+                dep_ref[0] = jnp.zeros((G * RT, OW), jnp.float32)
+
+        @pl.when(tot > 0)
+        def _():
+            _collect_group()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(NG,),
         in_specs=[
             pl.BlockSpec((1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G * GROWS, EP), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * RT, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -617,13 +711,14 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
         + (
             (
                 pl.BlockSpec(
-                    (1, G * GROWS, EP), lambda t, *_: (t, 0, 0),
+                    (1, G * RT, OW), lambda t, *_: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             )
             if fused_p2g1
             else ()
         ),
+        scratch_shapes=[pltpu.VMEM((NBP, G * cap), jnp.float32)],
     )
 
     out_shape = (
@@ -632,7 +727,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
     )
     if fused_p2g1:
         out_shape = out_shape + (
-            jax.ShapeDtypeStruct((NG, G * GROWS, EP), jnp.float32),
+            jax.ShapeDtypeStruct((NG, G * RT, OW), jnp.float32),
         )
 
     def call(count, tid, params, stream, gblk):
@@ -875,17 +970,19 @@ def _make_halo_axis(spec: StreamSpec, D: int, axis: int, CH: int):
 
 def halo_stream(x: jnp.ndarray, nbr: jnp.ndarray, tshape, spec: StreamSpec, D: int, CH: int):
     """Active-major overlap-add: Pallas axis passes when the per-channel
-    window is lane-aligned (E^D % 128 == 0, i.e. 3D) and the rows are fat
-    enough to beat the XLA gather form (measured at 3d-1m: m+f L=1536
-    15.7 -> 9.6 ms, but mass L=512 4.2 -> 5.5 ms — narrow rows are
-    DMA-latency-bound), else the XLA gather form."""
-    if spec.E**D % 128 or CH * spec.E**D < 1024:
+    window is lane-aligned (E^D % 128 == 0, i.e. 3D), else the XLA gather
+    form (2D windows are 36 lanes — sub-vreg, and 2D configs are small)."""
+    if spec.E**D % 128:
         return halo_pull(x, nbr, tshape, spec.tile, spec.E)
     A, L = x.shape
-    x3 = x.reshape(A, L // 128, 128)
+    return halo3(x.reshape(A, L // 128, 128), nbr, spec, D, CH).reshape(A, L)
+
+
+def halo3(x3: jnp.ndarray, nbr: jnp.ndarray, spec: StreamSpec, D: int, CH: int):
+    """Rank-3 [A, CH*E^D/128, 128] Pallas halo (no relayout at the API)."""
     for d in range(D):
         x3 = _make_halo_axis(spec, D, d, CH)(x3, nbr[2 * d], nbr[2 * d + 1])
-    return x3.reshape(A, L)
+    return x3
 
 
 def _unflatten(idx: jnp.ndarray, shape) -> jnp.ndarray:
@@ -903,7 +1000,11 @@ def _blocks_to_dense(blocks, tid, nt: int, spec: StreamSpec, D: int, CH: int):
     transpose (XLA transposes measured ~10ms at 1M scale)."""
     E, EP, G, A = spec.E, spec.EP(D), spec.group, spec.A
     E3 = E**D
-    x = blocks.reshape(A, GROWS, EP)[:, :CH, :E3].reshape(A, CH * E3)
+    if E3 % 128 == 0:
+        S1 = E3 // 128
+        x = blocks.reshape(A, GROWS * S1, 128)[:, : CH * S1, :].reshape(A, CH * E3)
+    else:
+        x = blocks.reshape(A, GROWS, EP)[:, :CH, :E3].reshape(A, CH * E3)
     dense = jnp.zeros((nt + 1, CH * E3), jnp.float32)
     dense = dense.at[jnp.clip(tid, 0, nt)].add(x, mode="drop")
     return dense[:nt]  # [nt, CH*E3]
@@ -935,11 +1036,35 @@ def _flatten_coords(c: jnp.ndarray, shape) -> jnp.ndarray:
     return (c * strides).sum(axis=-1)
 
 
-def _keys_from_pos(pos, domain: Domain, spec: StreamSpec, tshape):
+_LOOKAHEAD = 6.0  # predictive-binning horizon, in substeps
+
+
+def _keys_from_pos(pos, domain: Domain, spec: StreamSpec, tshape, vel=None, dt=0.0):
+    """Tile key per particle; with ``vel`` given, bins PREDICTIVELY.
+
+    Binning by current position leaves a coherently-moving particle all of
+    its drift margin on one side: it enters at the trailing window edge and
+    re-bins after ~margin/speed substeps.  Binning by pos + clip(lookahead
+    * dt * vel, +-1 cell) centers the TRAJECTORY in the drift window
+    instead (at 3d-1m the falling dam re-bins 4-5x per 31-substep frame by
+    position, 1-2x predictively).  A +-1-cell shift keeps the current cell
+    inside the chosen tile's drift window [1-h, T-2+h] for any h >= 2:
+    floor(pos +- s) with s <= 1 differs from floor(pos) by at most one
+    cell, so lc is within [-1, T] — the per-axis fallback below is a
+    safety net for h < 2 specs only."""
     shape = jnp.asarray(domain.shape, jnp.int32)
     origin = jnp.asarray(domain.origin, jnp.int32)
     cell = jnp.clip(jnp.floor(pos).astype(jnp.int32) - origin, 0, shape - 1)
-    return _flatten_coords(cell // spec.tile, tshape)
+    T, h = spec.tile, spec.halo
+    if vel is None or dt == 0.0:
+        return _flatten_coords(cell // T, tshape)
+    shift = jnp.clip(vel * (_LOOKAHEAD * dt), -1.0, 1.0)
+    pcell = jnp.clip(jnp.floor(pos + shift).astype(jnp.int32) - origin, 0, shape - 1)
+    ct = pcell // T
+    lc = cell - ct * T
+    ok = (lc >= 1 - h) & (lc <= T - 2 + h)
+    ct = jnp.where(ok, ct, cell // T)
+    return _flatten_coords(ct, tshape)
 
 
 def _nbr_table(tid_act, tshape, nt: int, A: int):
@@ -1055,8 +1180,10 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=No
     )
 
 
-def bin_particles(p: ParticleState, domain: Domain, spec: StreamSpec) -> StreamState:
-    """ParticleState -> persistent stream layout (sort + one row scatter)."""
+def bin_particles(p: ParticleState, domain: Domain, spec: StreamSpec, dt: float = 0.0) -> StreamState:
+    """ParticleState -> persistent stream layout (sort + one row scatter).
+
+    ``dt`` (static) enables predictive binning — see _keys_from_pos."""
     tshape, nt = _tile_geometry(domain, spec)
     n, D = p.n, p.dim
     rows = jnp.concatenate(
@@ -1071,7 +1198,7 @@ def bin_particles(p: ParticleState, domain: Domain, spec: StreamSpec) -> StreamS
         ],
         axis=1,
     )
-    tid_p = _keys_from_pos(p.pos, domain, spec, tshape)
+    tid_p = _keys_from_pos(p.pos, domain, spec, tshape, vel=p.vel, dt=dt)
     return _bin_rows(rows, tid_p, n, spec, nt, tshape)
 
 
@@ -1219,36 +1346,57 @@ def _substep_core(
     # ---- p2g_1 ------------------------------------------------------------
     A, NG, G = spec.A, spec.NG, spec.group
     E3 = E**D
-    blk1 = dep1.reshape(A, GROWS, EP)[:, : 1 + D, :E3]  # [A, 1+D, E3]
-    # halo only the MASS channel now (p2g_2 needs it); the momentum halo is
-    # deferred and fused with the force halo below (halo is linear)
-    hs_m = halo_stream(blk1[:, 0, :], st.nbr, tshape, spec, D, 1)  # [A, E3]
-    mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
-
-    # ---- p2g_2 ------------------------------------------------------------
     params6 = jnp.asarray(
         [cfg.dt, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power,
          cfg.pressure_floor, cfg.dynamic_viscosity],
         jnp.float32,
     )
-    dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
-    blk2 = dep2.reshape(A, GROWS, EP)[:, :D, :E3]  # [A, D, E3]
-    # combined momentum+force halo: halo(mom) + halo(frc) == halo(mom + frc)
-    hs_mf = halo_stream(
-        (blk1[:, 1:, :] + blk2).reshape(A, D * E3), st.nbr, tshape, spec, D, D
-    )
-
-    # ---- grid update + row-grouped gblk [NG, G*CHP, EP] --------------------
-    # rows per tile: [v0..v_{D-1}, m, 0...] — all active-major, no gathers.
     g = jnp.asarray(cfg.gravity, jnp.float32)
-    mf = hs_mf.reshape(A, D, E3)
-    ma_ = hs_m.reshape(A, 1, E3)
-    v = jnp.where(
-        ma_ > 0.0, mf / jnp.where(ma_ > 0.0, ma_, 1.0) + cfg.dt * g[None, :, None], 0.0
-    )
-    gblk = jnp.concatenate([v, ma_], axis=1)  # [A, 1+D, E3]
-    gblk = jnp.pad(gblk, ((0, 0), (0, GROWS - 1 - D), (0, EP - E3)))
-    gblk = gblk.reshape(NG, G * GROWS, EP)
+    if E3 % 128 == 0:
+        # rank-3 halo-native path (3D): deposit blocks arrive as
+        # [A, ch*S1, 128]; every glue op below is elementwise/reshape on
+        # that layout — zero relayout copies between kernels
+        S1 = E3 // 128
+        d1 = dep1.reshape(A, GROWS * S1, 128)
+        hs_m3 = halo3(d1[:, : S1], st.nbr, spec, D, 1)  # [A, S1, 128]
+        mgblk = hs_m3.reshape(NG, G * S1, 128)
+        dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
+        d2 = dep2.reshape(A, GROWS * S1, 128)
+        # combined momentum+force halo: halo(mom)+halo(frc) == halo(mom+frc)
+        hs_mf3 = halo3(
+            d1[:, S1 : (1 + D) * S1] + d2[:, : D * S1], st.nbr, spec, D, D
+        )  # [A, D*S1, 128]
+        mfv = hs_mf3.reshape(A, D, S1, 128)
+        mav = hs_m3[:, None]  # [A, 1, S1, 128]
+        vv = jnp.where(
+            mav > 0.0,
+            mfv / jnp.where(mav > 0.0, mav, 1.0) + cfg.dt * g[None, :, None, None],
+            0.0,
+        )
+        gblk = jnp.concatenate(
+            [vv.reshape(A, D * S1, 128), hs_m3], axis=1
+        ).reshape(NG, G * GROWS * S1, 128)
+    else:
+        blk1 = dep1.reshape(A, GROWS, EP)[:, : 1 + D, :E3]  # [A, 1+D, E3]
+        # halo only the MASS channel (p2g_2 needs it); the momentum halo is
+        # deferred and fused with the force halo below (halo is linear)
+        hs_m = halo_stream(blk1[:, 0, :], st.nbr, tshape, spec, D, 1)
+        mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
+        dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
+        blk2 = dep2.reshape(A, GROWS, EP)[:, :D, :E3]  # [A, D, E3]
+        hs_mf = halo_stream(
+            (blk1[:, 1:, :] + blk2).reshape(A, D * E3), st.nbr, tshape, spec, D, D
+        )
+        mf = hs_mf.reshape(A, D, E3)
+        ma_ = hs_m.reshape(A, 1, E3)
+        v = jnp.where(
+            ma_ > 0.0,
+            mf / jnp.where(ma_ > 0.0, ma_, 1.0) + cfg.dt * g[None, :, None],
+            0.0,
+        )
+        gblk = jnp.concatenate([v, ma_], axis=1)  # [A, 1+D, E3]
+        gblk = jnp.pad(gblk, ((0, 0), (0, GROWS - 1 - D), (0, EP - E3)))
+        gblk = gblk.reshape(NG, G * GROWS, EP)
 
     # ---- g2p + tail --------------------------------------------------------
     params = _collect_params(cfg, mouse_pos, mouse_active, D, spec.scene_stride)
@@ -1331,8 +1479,15 @@ def _rebin_full(st: StreamState, cfg, domain, spec: StreamSpec, tshape, nt, n: i
     # keys computed ELEMENTWISE over all slots straight off the stream's
     # field rows (no transpose, no row gather), then one scalar take
     # through src — replaces a 1M-row take + keys (37.8 -> ~6 ms)
-    pos_rows = [st.stream[:, d, :].reshape(-1) for d in range(D)]
-    tid_slot = _keys_from_pos(jnp.stack(pos_rows, axis=-1), domain, spec, tshape)
+    pos_rows = jnp.stack(
+        [st.stream[:, d, :].reshape(-1) for d in range(D)], axis=-1
+    )
+    vel_rows = jnp.stack(
+        [st.stream[:, D + d, :].reshape(-1) for d in range(D)], axis=-1
+    )
+    tid_slot = _keys_from_pos(
+        pos_rows, domain, spec, tshape, vel=vel_rows, dt=cfg.dt
+    )
     tid_p = jnp.take(tid_slot, src)
     # rows beyond the live count (possible only when n overestimates, e.g.
     # after a strict-contract violation) key to the nt sentinel tile, which
@@ -1360,7 +1515,7 @@ def substep(
     the fast path is frame() below (bin/unbin amortized over the frame)."""
     if spec is None:
         spec = default_spec(cfg, domain, p.n)
-    st = bin_particles(p, domain, spec)
+    st = bin_particles(p, domain, spec, dt=cfg.dt)
     st2 = substep_binned(st, cfg, domain, spec, mouse_pos, mouse_active)
     out = unbin(st2, domain, spec, p.n, p.dim)
 
@@ -1385,6 +1540,12 @@ def substep(
     )
     hs_m = halo_flat(dense1[:, : E**D], tshape, spec.tile, E, 1)
     mgblk = _dense_to_groups(hs_m, st.tid, nt, spec, D, 1, rows=1)
+    if E**D % 128 == 0:  # rank-3 mgblk layout (see make_deposit_kernel)
+        S1 = E**D // 128
+        NGg, Gg = spec.NG, spec.group
+        mgblk = mgblk.reshape(NGg, Gg, spec.EP(D))[:, :, : E**D].reshape(
+            NGg, Gg * S1, 128
+        )
     dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
     dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
     dense2 = _blocks_to_dense(dep2, st.tid, nt, spec, D, D)
@@ -1409,18 +1570,21 @@ def frame(
     drift-triggered re-bins, un-bin once."""
     if spec is None:
         spec = default_spec(cfg, domain, p.n)
-    st = bin_particles(p, domain, spec)
+    st = bin_particles(p, domain, spec, dt=cfg.dt)
     st = frame_binned(
         st, cfg, domain, spec, mouse_pos, mouse_active, substeps, n=p.n
     )
     return unbin(st, domain, spec, p.n, p.dim)
 
 
-def overflow_count(pos: jnp.ndarray, domain: Domain, spec: StreamSpec) -> jnp.ndarray:
-    """Particles that would not fit the slot structure (strict-mode check)."""
+def overflow_count(pos: jnp.ndarray, domain: Domain, spec: StreamSpec, vel=None, dt: float = 0.0) -> jnp.ndarray:
+    """Particles that would not fit the slot structure (strict-mode check).
+
+    Pass the state's ``vel`` and cfg.dt to check the PREDICTIVE keys the
+    frame actually bins with (they coincide when velocities are zero)."""
     tshape, nt = _tile_geometry(domain, spec)
     n = pos.shape[0]
-    tid_p = _keys_from_pos(pos, domain, spec, tshape)
+    tid_p = _keys_from_pos(pos, domain, spec, tshape, vel=vel, dt=dt)
     order = jnp.argsort(tid_p)
     sid = jnp.take(tid_p, order)
     ranks = jnp.arange(n, dtype=jnp.int32)
