@@ -333,6 +333,16 @@ def _fixup_deposit(YT, E: int, D: int, CH: int, EP: int):
     return blk
 
 
+def _pbatch(NG: int) -> int:
+    """Groups per kernel program: per-program dispatch is ~550 ns, so at
+    NG=4096 one group/program burns ~2.3 ms/kernel; batching 4 amortizes
+    it while keeping blocks comfortably inside VMEM."""
+    for b in (4, 2):
+        if NG % b == 0:
+            return b
+    return 1
+
+
 def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
     """Deposit blocks in ROW-GROUPED layout: out [NG, G*CHP, EP], tile j of a
     group owning sublane rows [j*CHP, (j+1)*CHP) — a [NG*G, CHP, EP] reshape
@@ -351,15 +361,23 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
     S1 = spec.E**D // 128 if r3 else 0
     RT = GROWS * S1 if r3 else GROWS  # output rows per tile
     OW = 128 if r3 else EP  # output lane width
+    PB = _pbatch(NG)  # groups per program (amortizes ~550ns dispatch)
 
     def kernel(*refs):
         if mode == "p2g1":
             count_ref, tid_ref, stream_ref, out_ref = refs
         else:
             count_ref, tid_ref, params_ref, stream_ref, mg_ref, out_ref = refs
-        g = pl.program_id(0)
         GL = G * cap
         E3 = E**D
+        for pb in range(PB):
+            _one_group(refs, pb, pl.program_id(0) * PB + pb, GL, E3)
+
+    def _one_group(refs, pb, gg, GL, E3):
+        if mode == "p2g1":
+            count_ref, tid_ref, stream_ref, out_ref = refs
+        else:
+            count_ref, tid_ref, params_ref, stream_ref, mg_ref, out_ref = refs
 
         # group-vectorized lane metadata: the VPU-heavy window/profile/value
         # builds run ONCE on [*, G*cap] arrays (per-tile [*, cap] ops in a
@@ -370,9 +388,9 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
         grp = l_io // cap
         tid_l = jnp.zeros((GL,), jnp.int32)
         cnt_l = jnp.zeros((GL,), jnp.int32)
-        tot = count_ref[g * G]
+        tot = count_ref[gg * G]
         for j in range(G):
-            a = g * G + j
+            a = gg * G + j
             tid_l = jnp.where(grp == j, tid_ref[a], tid_l)
             cnt_l = jnp.where(grp == j, count_ref[a], cnt_l)
             if j > 0:
@@ -381,11 +399,11 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
 
         @pl.when(tot == 0)
         def _():
-            out_ref[0] = jnp.zeros((G * RT, OW), jnp.float32)
+            out_ref[pb] = jnp.zeros((G * RT, OW), jnp.float32)
 
         @pl.when(tot > 0)
         def _():
-            pm = stream_ref[0]  # [F, G*cap]
+            pm = stream_ref[pb]  # [F, G*cap]
             plains, bases, dvec = _kernel_profiles_from(
                 [pm[d] for d in range(D)], tid_l, T, E, h, tshape, origin, GL
             )
@@ -397,13 +415,13 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                 if r3:
                     mrows = _rows_stack(
                         [
-                            mg_ref[0, j * S1 : (j + 1) * S1, :].reshape(E3)
+                            mg_ref[pb, j * S1 : (j + 1) * S1, :].reshape(E3)
                             for j in range(G)
                         ],
                         E3,
                     )  # [G, E^D]
                 else:
-                    mrows = mg_ref[0, :, :E3]  # [G, E^D]
+                    mrows = mg_ref[pb, :, :E3]  # [G, E^D]
                 rho_all = lax.dot_general(
                     mrows, W0, (((1,), (0,)), ((), ())),
                     precision=lax.Precision.HIGHEST,
@@ -417,11 +435,11 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                     pm, valid, dvec, bases, rho, cfg_row, GL, D
                 )
             for j in range(G):
-                cnt = count_ref[g * G + j]
+                cnt = count_ref[gg * G + j]
 
                 @pl.when(cnt == 0)
                 def _(j=j):
-                    out_ref[0, j * RT : (j + 1) * RT, :] = jnp.zeros(
+                    out_ref[pb, j * RT : (j + 1) * RT, :] = jnp.zeros(
                         (RT, OW), jnp.float32
                     )
 
@@ -436,27 +454,27 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                     )  # [(1+D)*CH, EP]
                     blk = _fixup_deposit(YT, E, D, CH, EP)  # [CH, EP]
                     if r3:
-                        out_ref[0, j * RT : (j + 1) * RT, :] = _pad_rows(
+                        out_ref[pb, j * RT : (j + 1) * RT, :] = _pad_rows(
                             blk.reshape(CH * S1, 128), RT
                         )
                     else:
-                        out_ref[0, j * RT : (j + 1) * RT, :] = _pad_rows(blk, RT)
+                        out_ref[pb, j * RT : (j + 1) * RT, :] = _pad_rows(blk, RT)
 
     n_prefetch = 2 if mode == "p2g1" else 3
     in_specs = [
-        pl.BlockSpec((1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((PB, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
     ]
     if mode == "p2g2":
-        mg_block = (1, G * S1, 128) if r3 else (1, G, EP)
+        mg_block = (PB, G * S1, 128) if r3 else (PB, G, EP)
         in_specs.append(
             pl.BlockSpec(mg_block, lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
-        grid=(NG,),
+        grid=(NG // PB,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, G * RT, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (PB, G * RT, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
     )
 
@@ -500,15 +518,19 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
     S1 = E3 // 128 if r3 else 0
     RT = GROWS * S1 if r3 else GROWS
     OW = 128 if r3 else EP
+    PB = _pbatch(NG)  # groups per program (amortizes ~550ns dispatch)
 
     def kernel(*refs):
+        for pb in range(PB):
+            _one_group(refs, pb, pl.program_id(0) * PB + pb)
+
+    def _one_group(refs, pb, gg):
         if fused_p2g1:
             (count_ref, tid_ref, params_ref, stream_ref, gblk_ref,
              out_ref, flag_ref, dep_ref, xsc) = refs
         else:
             (count_ref, tid_ref, params_ref, stream_ref, gblk_ref,
              out_ref, flag_ref, xsc) = refs
-        g = pl.program_id(0)
         dt = params_ref[0]
         rest = params_ref[1]
         k_eos = params_ref[2]
@@ -529,9 +551,9 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
         grp = l_io // cap
         tid_l = jnp.zeros((GL,), jnp.int32)
         cnt_l = jnp.zeros((GL,), jnp.int32)
-        tot = count_ref[g * G]
+        tot = count_ref[gg * G]
         for j in range(G):
-            a = g * G + j
+            a = gg * G + j
             tid_l = jnp.where(grp == j, tid_ref[a], tid_l)
             cnt_l = jnp.where(grp == j, count_ref[a], cnt_l)
             if j > 0:
@@ -539,7 +561,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
         valid = s_io < cnt_l
 
         def _collect_group():
-            pm = stream_ref[0]  # [F, G*cap]
+            pm = stream_ref[pb]  # [F, G*cap]
             plains, bases, dvec = _kernel_profiles_from(
                 [pm[d] for d in range(D)], tid_l, T, E, h, tshape, origin, GL
             )
@@ -549,17 +571,17 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
             es = _lane_e_coords(E, D, 1)
             rid = lax.broadcasted_iota(jnp.int32, (nb, E3), 0)
             for j in range(G):
-                cnt = count_ref[g * G + j]
+                cnt = count_ref[gg * G + j]
 
                 @pl.when(cnt > 0)
                 def _(j=j):
                     # row-grouped gblk: tile j's rows, [v(D), m] then pad
                     if r3:
-                        gb = gblk_ref[0, j * RT : j * RT + (1 + D) * S1, :].reshape(
+                        gb = gblk_ref[pb, j * RT : j * RT + (1 + D) * S1, :].reshape(
                             1 + D, E3
                         )
                     else:
-                        gb = gblk_ref[0, j * GROWS : j * GROWS + 1 + D, :E3]
+                        gb = gblk_ref[pb, j * GROWS : j * GROWS + 1 + D, :E3]
                     # BcatT rows: v(D), e_0*v(D), .., e_{D-1}*v(D), m
                     Bcat = jnp.zeros((nb, E3), jnp.float32)
                     for i in range(D):
@@ -643,10 +665,10 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
 
             rows = newpos + v + newC + [mass, pid, rho, pressure]
             out = _rows_stack(rows, GL)
-            out_ref[0] = jnp.where(valid[None, :], out, 0.0)
+            out_ref[pb] = jnp.where(valid[None, :], out, 0.0)
             flagv = jnp.where(valid, flag, 0.0)
             for j in range(G):
-                flag_ref[0, j, :] = flagv[j * cap : (j + 1) * cap]
+                flag_ref[pb, j, :] = flagv[j * cap : (j + 1) * cap]
 
             if fused_p2g1:
                 # next substep's p2g_1 from the NEW state (same tile frame)
@@ -660,11 +682,11 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                     v, Cm_new, jnp.where(valid, mass, 0.0), dvec2, bases2, GL, D
                 )
                 for j in range(G):
-                    cnt = count_ref[g * G + j]
+                    cnt = count_ref[gg * G + j]
 
                     @pl.when(cnt == 0)
                     def _(j=j):
-                        dep_ref[0, j * RT : (j + 1) * RT, :] = jnp.zeros(
+                        dep_ref[pb, j * RT : (j + 1) * RT, :] = jnp.zeros(
                             (RT, OW), jnp.float32
                         )
 
@@ -680,14 +702,14 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                         blk = _fixup_deposit(YT, E, D, 1 + D, EP)
                         if r3:
                             blk = blk.reshape((1 + D) * S1, 128)
-                        dep_ref[0, j * RT : (j + 1) * RT, :] = _pad_rows(blk, RT)
+                        dep_ref[pb, j * RT : (j + 1) * RT, :] = _pad_rows(blk, RT)
 
         @pl.when(tot == 0)
         def _():
-            out_ref[0] = jnp.zeros((F, GL), jnp.float32)
-            flag_ref[0] = jnp.zeros((G, cap), jnp.float32)
+            out_ref[pb] = jnp.zeros((F, GL), jnp.float32)
+            flag_ref[pb] = jnp.zeros((G, cap), jnp.float32)
             if fused_p2g1:
-                dep_ref[0] = jnp.zeros((G * RT, OW), jnp.float32)
+                dep_ref[pb] = jnp.zeros((G * RT, OW), jnp.float32)
 
         @pl.when(tot > 0)
         def _():
@@ -695,23 +717,23 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(NG,),
+        grid=(NG // PB,),
         in_specs=[
-            pl.BlockSpec((1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G * RT, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, G * RT, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (PB, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, G, cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (PB, G, cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
         )
         + (
             (
                 pl.BlockSpec(
-                    (1, G * RT, OW), lambda t, *_: (t, 0, 0),
+                    (PB, G * RT, OW), lambda t, *_: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             )
