@@ -81,10 +81,13 @@ def _tiled_spec(cfg, dom, n):
     # inflation E^D/3^D dominates the extra tile count)
     T = 4
     per_tile = cfg.rest_density * T**cfg.dim
-    cap = max(32, -(-int(per_tile * 2.0) // 32) * 32)
-    # rest-density scenes occupy ~n/per_tile tiles + a surface layer; 1.25x
-    # covers splash spreading (overflow just freezes particles, counted)
-    occupied = max(64, int(n / max(per_tile, 1.0) * 1.25))
+    cap = max(32, -(-int(per_tile * 2.5) // 32) * 32)
+    # rest-density scenes occupy ~n/per_tile tiles + a surface layer; the
+    # fluid expands into the domain margin while settling (occupied tiles
+    # grow ~1.45x initial at 3d-1m full-occupancy scenes, but reference-box
+    # dams spread across the whole floor — up to ~8x initial)
+    factor = 8.0 if n <= 4096 else 2.5
+    occupied = max(64, int(n / max(per_tile, 1.0) * factor))
     active = min(-(-occupied // 64) * 64, math.prod(s // T for s in dom.shape))
     # bench verifies overflow==0 up front, so strict mode is safe
     return tt.TileSpec(tile=T, cap=cap, active=active, strict=True)
@@ -95,12 +98,13 @@ def _stream_spec(cfg, dom, n):
 
     T = 4
     per_tile = cfg.rest_density * T**cfg.dim
-    # 32x the rest-density tile estimate: reference box scenes spread across
+    # 20x the rest-density tile estimate: reference box scenes spread across
     # the whole floor and the active set is cube-DILATED (measured dilated
-    # peaks: 3d-ref 21x, batch-64 11x the estimate).  Full-occupancy scaled
-    # scenes cap at nt anyway.  110k hard cap keeps the SMEM scalar-prefetch
-    # arrays (count+tid, 8B/tile) under the ~1MB budget.
-    occupied = max(2048, int(n / max(per_tile, 1.0)) * 32)
+    # over batch-64's 3 frames: 21.7k -> 62.8k vs the 4096-tile estimate;
+    # 3d-ref peaks 21x but the 2048 floor covers it).  Full-occupancy
+    # scaled scenes cap at nt anyway.  110k hard cap keeps the SMEM
+    # scalar-prefetch arrays (count+tid, 8B/tile) under the ~1MB budget.
+    occupied = max(2048, int(n / max(per_tile, 1.0)) * 20)
     nt = math.prod(s // T for s in dom.shape)
     return stx.StreamSpec(
         tile=T, cap=128, halo=2, group=8, active=min(occupied, nt, 110_000)

@@ -1000,8 +1000,26 @@ def halo_stream(x: jnp.ndarray, nbr: jnp.ndarray, tshape, spec: StreamSpec, D: i
     return halo3(x.reshape(A, L // 128, 128), nbr, spec, D, CH).reshape(A, L)
 
 
-def halo3(x3: jnp.ndarray, nbr: jnp.ndarray, spec: StreamSpec, D: int, CH: int):
-    """Rank-3 [A, CH*E^D/128, 128] Pallas halo (no relayout at the API)."""
+def halo3(
+    x3: jnp.ndarray,
+    nbr: jnp.ndarray,
+    spec: StreamSpec,
+    D: int,
+    CH: int,
+    force_kernel: bool = False,
+):
+    """Rank-3 [A, CH*E^D/128, 128] Pallas halo (no relayout at the API).
+
+    Under interpret mode (CPU tests) this routes through the bit-identical
+    XLA gather form instead — emulating 3 DMA kernels per halo makes the
+    suite ~3x slower for zero extra coverage (the kernel itself has a
+    dedicated interpret equivalence test; pass ``force_kernel`` for it)."""
+    if spec.interpret and not force_kernel:
+        A, S, _ = x3.shape
+        tshape = None  # unused by halo_pull's lane math
+        return halo_pull(
+            x3.reshape(A, S * 128), nbr, (0,) * D, spec.tile, spec.E
+        ).reshape(A, S, 128)
     for d in range(D):
         x3 = _make_halo_axis(spec, D, d, CH)(x3, nbr[2 * d], nbr[2 * d + 1])
     return x3
