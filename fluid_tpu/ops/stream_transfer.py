@@ -874,6 +874,129 @@ def _halo_group(A: int) -> int:
     return 1
 
 
+def _make_halo_gblk(spec: StreamSpec, D: int, axis: int, dt: float, gravity):
+    """Final m+f halo axis pass FUSED with the grid update: emits the
+    row-grouped gblk [(v(D) then mass) x S1 sublanes, 128] per tile
+    directly, absorbing the XLA gblk build (measured ~5-7 ms/substep at
+    3d-1m: one full read+write pass over ~600 MB).  Extra input: the
+    halo'd mass hs_m [A, S1, 128]."""
+    T, E, A = spec.tile, spec.E, spec.A
+    E3 = E**D
+    L = D * E3
+    S = L // 128
+    S1 = E3 // 128
+    lstride = E ** (D - 1 - axis)
+    shift = T * lstride
+    GH = _halo_group(A)
+    g_const = tuple(float(g) for g in gravity)
+
+    def kernel(nbp_ref, nbm_ref, own_ref, m_ref, x_ref, o_ref, scrp, scrm, semp, semm):
+        g = pl.program_id(0)
+        base = g * GH
+
+        def dma(idx, scr, sem, j):
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(idx, 1)], scr.at[pl.ds(j, 1)], sem.at[j]
+            )
+
+        for j in range(GH):
+            idp = nbp_ref[base + j]
+            idm = nbm_ref[base + j]
+
+            @pl.when(idp < A)
+            def _(j=j, idp=idp):
+                dma(idp, scrp, semp, j).start()
+
+            @pl.when(idp >= A)
+            def _(j=j):
+                scrp[j] = jnp.zeros((S, 128), jnp.float32)
+
+            @pl.when(idm < A)
+            def _(j=j, idm=idm):
+                dma(idm, scrm, semm, j).start()
+
+            @pl.when(idm >= A)
+            def _(j=j):
+                scrm[j] = jnp.zeros((S, 128), jnp.float32)
+
+        for j in range(GH):
+            idp = nbp_ref[base + j]
+            idm = nbm_ref[base + j]
+
+            @pl.when(idp < A)
+            def _(j=j, idp=idp):
+                dma(idp, scrp, semp, j).wait()
+
+            @pl.when(idm < A)
+            def _(j=j, idm=idm):
+                dma(idm, scrm, semm, j).wait()
+
+        s_io = lax.broadcasted_iota(jnp.int32, (GH, S, 128), 1)
+        l_io = lax.broadcasted_iota(jnp.int32, (GH, S, 128), 2)
+        le = (s_io * 128 + l_io) % E3
+        e_d = (le // lstride) % E
+
+        def flat_roll(y, k):
+            q, r = divmod(k % L, 128)
+            r1 = pltpu.roll(y, r, 2)
+            r2 = pltpu.roll(r1, q, 1)
+            if r == 0:
+                return r2
+            r3 = pltpu.roll(r1, q + 1, 1)
+            return jnp.where(l_io >= r, r2, r3)
+
+        mf = (
+            own_ref[...]
+            + jnp.where(e_d >= T, flat_roll(scrp[...], shift), 0.0)
+            + jnp.where(e_d < E - T, flat_roll(scrm[...], -shift), 0.0)
+        )  # [GH, D*S1, 128]
+        m = m_ref[...]  # [GH, S1, 128]
+        minv = jnp.where(m > 0.0, 1.0 / jnp.where(m > 0.0, m, 1.0), 0.0)
+        mpos = m > 0.0
+        for c in range(D):
+            vc = jnp.where(
+                mpos,
+                mf[:, c * S1 : (c + 1) * S1] * minv + dt * g_const[c],
+                0.0,
+            )
+            o_ref[:, c * S1 : (c + 1) * S1, :] = vc
+        o_ref[:, D * S1 : (1 + D) * S1, :] = m
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(A // GH,),
+        in_specs=[
+            pl.BlockSpec(
+                (GH, S, 128), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (GH, S1, 128), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (GH, (1 + D) * S1, 128), lambda g, *_: (g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((GH, S, 128), jnp.float32),
+            pltpu.VMEM((GH, S, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((GH,)),
+            pltpu.SemaphoreType.DMA((GH,)),
+        ],
+    )
+
+    def call(x3, hs_m3, nbp, nbm):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((A, (1 + D) * S1, 128), jnp.float32),
+            interpret=spec.interpret,
+        )(nbp, nbm, x3, hs_m3, x3)
+
+    return call
+
+
 def _make_halo_axis(spec: StreamSpec, D: int, axis: int, CH: int):
     """One separable push-halo axis pass as a Pallas kernel.
 
@@ -1403,19 +1526,29 @@ def _substep_core(
         dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
         d2 = dep2.reshape(A, GROWS * S1, 128)
         # combined momentum+force halo: halo(mom)+halo(frc) == halo(mom+frc)
-        hs_mf3 = halo3(
-            d1[:, S1 : (1 + D) * S1] + d2[:, : D * S1], st.nbr, spec, D, D
-        )  # [A, D*S1, 128]
-        mfv = hs_mf3.reshape(A, D, S1, 128)
-        mav = hs_m3[:, None]  # [A, 1, S1, 128]
-        vv = jnp.where(
-            mav > 0.0,
-            mfv / jnp.where(mav > 0.0, mav, 1.0) + cfg.dt * g[None, :, None, None],
-            0.0,
-        )
-        gblk = jnp.concatenate(
-            [vv.reshape(A, D * S1, 128), hs_m3], axis=1
-        ).reshape(NG, G * GROWS * S1, 128)
+        mf3 = d1[:, S1 : (1 + D) * S1] + d2[:, : D * S1]  # [A, D*S1, 128]
+        if not spec.interpret:
+            # last axis pass fused with the grid update: emits gblk directly
+            for d in range(D - 1):
+                mf3 = _make_halo_axis(spec, D, d, D)(
+                    mf3, st.nbr[2 * d], st.nbr[2 * d + 1]
+                )
+            gblk = _make_halo_gblk(spec, D, D - 1, cfg.dt, cfg.gravity)(
+                mf3, hs_m3, st.nbr[2 * (D - 1)], st.nbr[2 * (D - 1) + 1]
+            ).reshape(NG, G * GROWS * S1, 128)
+        else:
+            hs_mf3 = halo3(mf3, st.nbr, spec, D, D)
+            mfv = hs_mf3.reshape(A, D, S1, 128)
+            mav = hs_m3[:, None]  # [A, 1, S1, 128]
+            vv = jnp.where(
+                mav > 0.0,
+                mfv / jnp.where(mav > 0.0, mav, 1.0)
+                + cfg.dt * g[None, :, None, None],
+                0.0,
+            )
+            gblk = jnp.concatenate(
+                [vv.reshape(A, D * S1, 128), hs_m3], axis=1
+            ).reshape(NG, G * GROWS * S1, 128)
     else:
         blk1 = dep1.reshape(A, GROWS, EP)[:, : 1 + D, :E3]  # [A, 1+D, E3]
         # halo only the MASS channel (p2g_2 needs it); the momentum halo is
