@@ -150,8 +150,19 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
         if over:
             print(f"# stream spec overflow at t=0: {over}", file=sys.stderr)
 
-        def frame_fn(q):
-            return stx.frame(q, cfg, dom, mp, ma, spec)
+        # persistent binned state ACROSS frames (the reference keeps its
+        # chunk map across frames the same way): bin once, un-bin once for
+        # the post-run validation — the timed loop is pure frame physics
+        n_live = p.pos.shape[0]
+
+        def stream_state(q):
+            return stx.bin_particles(q, dom, spec, dt=cfg.dt)
+
+        def frame_fn(s):
+            return stx.frame_binned(s, cfg, dom, spec, mp, ma, n=n_live)
+
+        def stream_unbin(s):
+            return stx.unbin(s, dom, spec, n_live, cfg.dim)
 
     elif backend in ("tiled", "pallas"):
         spec = _tiled_spec(cfg, dom, n, batch)
@@ -182,14 +193,24 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
     else:
         run = jax.jit(frame_fn, donate_argnums=0)
 
-    p = jax.block_until_ready(run(p))
-    float(p.pos.ravel()[0])  # force a real fetch — surfaces device faults
+    if backend == "stream":
+        state = jax.block_until_ready(jax.jit(stream_state)(p))
+    else:
+        state = p
+    state = jax.block_until_ready(run(state))
+    leaf0 = jax.tree_util.tree_leaves(state)[0]
+    float(leaf0.ravel()[0])  # force a real fetch — surfaces device faults
     t0 = time.perf_counter()
     for _ in range(frames):
-        p = run(p)
-    jax.block_until_ready(p)
+        state = run(state)
+    jax.block_until_ready(state)
     dt = time.perf_counter() - t0
-    float(p.pos.ravel()[0])
+    leaf0 = jax.tree_util.tree_leaves(state)[0]
+    float(leaf0.ravel()[0])
+    if backend == "stream":
+        p = jax.block_until_ready(jax.jit(stream_unbin)(state))
+    else:
+        p = state
 
     # ---- self-validation: a strict-mode overflow or a NaN mid-run must fail
     # the bench loudly instead of corrupting the reported number.
