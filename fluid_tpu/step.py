@@ -86,7 +86,16 @@ def frame_body(
 ) -> ParticleState:
     """Unjitted frame body (``cfg.iterations`` substeps under fori_loop) —
     compose under your own jit/vmap/shard; or use ``frame`` for the default
-    jitted entry point."""
+    jitted entry point.
+
+    Backends that expose a fused ``frame`` (the stream backend: bin once,
+    run every substep on the persistent binned layout with drift-triggered
+    re-bins, un-bin once) are dispatched to it; others loop ``substep``."""
+    ops = _get_backend(backend)
+    if hasattr(ops, "frame"):
+        return ops.frame(
+            p, cfg, domain, mouse_pos, mouse_active, substeps=substeps
+        )
 
     def body(_, p):
         new_p, _ = substep(p, cfg, domain, mouse_pos, mouse_active, backend)
