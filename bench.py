@@ -146,23 +146,14 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
             n = p.pos.shape[0]
         else:
             spec = _stream_spec(cfg, dom, n)
-        over = int(stx.overflow_count(p.pos, dom, spec, vel=p.vel, dt=cfg.dt))
-        if over:
-            print(f"# stream spec overflow at t=0: {over}", file=sys.stderr)
+        # persistent binned state ACROSS frames via the library's Session
+        # (bin once, un-bin once after the timed loop; Session raises on a
+        # t=0 overflow).  strict=False defers the conservation check to
+        # after the timed loop so no per-frame host sync pollutes timing.
+        from fluid_tpu.session import Session
 
-        # persistent binned state ACROSS frames (the reference keeps its
-        # chunk map across frames the same way): bin once, un-bin once for
-        # the post-run validation — the timed loop is pure frame physics
         n_live = p.pos.shape[0]
-
-        def stream_state(q):
-            return stx.bin_particles(q, dom, spec, dt=cfg.dt)
-
-        def frame_fn(s):
-            return stx.frame_binned(s, cfg, dom, spec, mp, ma, n=n_live)
-
-        def stream_unbin(s):
-            return stx.unbin(s, dom, spec, n_live, cfg.dim)
+        sess = Session(cfg, dom, p, backend="stream", spec=spec, strict=False)
 
     elif backend in ("tiled", "pallas"):
         spec = _tiled_spec(cfg, dom, n, batch)
@@ -188,28 +179,40 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
         def frame_fn(q):
             return step.frame_body(q, cfg, dom, mp, ma, backend)
 
-    if batch:
-        run = jax.jit(lambda q: jax.vmap(frame_fn)(q), donate_argnums=0)
-    else:
-        run = jax.jit(frame_fn, donate_argnums=0)
-
     if backend == "stream":
-        state = jax.block_until_ready(jax.jit(stream_state)(p))
+        sess.frame((mp, ma))  # warmup/compile
+        sess.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            sess.frame((mp, ma))
+        sess.block_until_ready()
+        dt = time.perf_counter() - t0
+        # particle conservation BEFORE unbin: a transient mid-run re-bin
+        # overflow drops rows silently (dropped rows unbin as zeros and can
+        # pass the final-position overflow check) — sum(count) catches it.
+        live = sess.live_count()
+        if live != n_live:
+            raise RuntimeError(
+                f"particle loss during timed run: sum(count)={live} != "
+                f"n={n_live} — a mid-run re-bin overflowed the slot "
+                f"structure; timing invalid"
+            )
+        p = jax.block_until_ready(sess.particles())
     else:
-        state = p
-    state = jax.block_until_ready(run(state))
-    leaf0 = jax.tree_util.tree_leaves(state)[0]
-    float(leaf0.ravel()[0])  # force a real fetch — surfaces device faults
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        state = run(state)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-    leaf0 = jax.tree_util.tree_leaves(state)[0]
-    float(leaf0.ravel()[0])
-    if backend == "stream":
-        p = jax.block_until_ready(jax.jit(stream_unbin)(state))
-    else:
+        if batch:
+            run = jax.jit(lambda q: jax.vmap(frame_fn)(q), donate_argnums=0)
+        else:
+            run = jax.jit(frame_fn, donate_argnums=0)
+        state = jax.block_until_ready(run(p))
+        leaf0 = jax.tree_util.tree_leaves(state)[0]
+        float(leaf0.ravel()[0])  # force a real fetch — surfaces device faults
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            state = run(state)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
+        leaf0 = jax.tree_util.tree_leaves(state)[0]
+        float(leaf0.ravel()[0])
         p = state
 
     # ---- self-validation: a strict-mode overflow or a NaN mid-run must fail

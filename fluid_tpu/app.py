@@ -123,13 +123,20 @@ def run(
     seed: int = 0,
     frames: Optional[int] = None,
     headless: bool = False,
-    backend: str = "dense",
+    backend: str = "auto",
     timing: bool = False,
     out=None,
 ) -> None:
     out = out or sys.stdout
     cfg = default_2d() if dim == 2 else default_3d()
     p, dom = scene.dam_break(jax.random.key(seed), cfg, n=n)
+
+    from . import session as session_mod
+
+    if backend == "auto":
+        # platform default: stream (the hot path) on TPU, dense on CPU —
+        # reference-parity real-time 3D should not require knowing a flag
+        backend = session_mod.default_backend()
 
     viewport = render_mod.DEFAULT_VIEWPORT
     console = render_mod.DEFAULT_CONSOLE
@@ -139,6 +146,10 @@ def run(
         # reference's per-phase split (2d_multi.rs:479-487), fused backends
         # get honest per-substep timing of their own code path
         timer = PhaseTimer(cfg, dom, backend=backend)
+    # persistent-state session: binned stream state lives across frames
+    # (bin/unbin amortized away — the reference keeps its chunk map the
+    # same way); the timing overlay keeps the per-phase ParticleState path
+    sess = None if timing else session_mod.Session(cfg, dom, p, backend=backend)
 
     ev_q: "queue.Queue" = queue.Queue(maxsize=1)
     stop = threading.Event()
@@ -164,13 +175,14 @@ def run(
             except queue.Empty:
                 pass
 
-            lines = render_mod.render(p, viewport, console)
             t0 = time.perf_counter()
             if timer is not None:
+                lines = render_mod.render(p, viewport, console)
                 p, phase_times = timer.frame(p, *mouse)
             else:
-                p = step.frame(p, cfg, dom, mouse[0], mouse[1], backend)
-                jax.block_until_ready(p.pos)
+                lines = sess.render(viewport, console)
+                sess.frame(mouse)
+                sess.block_until_ready()
                 phase_times = [("frame", time.perf_counter() - t0)]
 
             if headless:
@@ -207,7 +219,9 @@ def main(argv=None) -> None:
     ap.add_argument("--frames", type=int, default=None, help="stop after N frames")
     ap.add_argument("--headless", action="store_true", help="no TTY; print frames")
     ap.add_argument(
-        "--backend", default="dense", choices=("dense", "sorted", "tiled", "pallas", "stream")
+        "--backend", default="auto",
+        choices=("auto", "dense", "sorted", "tiled", "pallas", "stream"),
+        help="transfer backend; auto = stream on TPU, dense on CPU",
     )
     ap.add_argument("--timing", action="store_true", help="per-phase timing overlay")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")

@@ -560,7 +560,7 @@ def substep(
     mouse_pos,
     mouse_active,
     spec=None,
-    interpret: bool = False,
+    interpret: bool | None = None,
     preserve_order: bool = True,
 ):
     """One MLS-MPM substep: Pallas deposit/p2g2/collect kernels over the
@@ -571,6 +571,9 @@ def substep(
     from . import tiled_transfer as tt
     from .tiling import assemble, edge_mask, halo_sum
 
+    if interpret is None:
+        # CPU hosts (tests) can only run kernels in interpreter mode
+        interpret = jax.default_backend() == "cpu"
     if spec is None:
         spec = tt.default_spec(cfg, p.n)
     D = p.dim

@@ -75,6 +75,15 @@ CHP = 8  # per-tile channel rows in block arrays, padded to the f32 sublane tile
 GROWS = 4  # per-tile rows in the grid-value (gblk) array: v[D], mass, pad
 
 
+def _use_r3(spec: "StreamSpec", D: int) -> bool:
+    """Rank-3 halo-native block layout: [A, ch*S1, 128] with S1 = E^D/128.
+
+    3D only — the gblk reshapes assume GROWS == 1+D; a 2D spec whose window
+    happens to be lane-aligned (e.g. tile=12, halo=2 -> E^2 = 256) must take
+    the flat path or the (1+D)*S1-row reshapes mismatch the GROWS layout."""
+    return D == 3 and spec.E**D % 128 == 0
+
+
 @dataclasses.dataclass(frozen=True)
 class StreamSpec:
     """Static layout parameters (hashable => jit-static)."""
@@ -357,7 +366,7 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
     # rank-3 halo-native output (3D): each channel's E^D window splits into
     # S1 sublanes x 128 lanes via an in-kernel reshape, so the halo kernels
     # and all XLA glue operate on [A, ch*S1, 128] with NO relayout copies
-    r3 = spec.E**D % 128 == 0
+    r3 = _use_r3(spec, D)
     S1 = spec.E**D // 128 if r3 else 0
     RT = GROWS * S1 if r3 else GROWS  # output rows per tile
     OW = 128 if r3 else EP  # output lane width
@@ -514,7 +523,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
     NP = 16 + 2 * D  # params length
     nb = (1 + D) * D + 1  # g2p channel rows
     NBP = -(-nb // 8) * 8  # sublane-padded scratch rows
-    r3 = E3 % 128 == 0  # rank-3 halo-native block layout (see deposit kernel)
+    r3 = _use_r3(spec, D)  # rank-3 halo-native block layout (see deposit kernel)
     S1 = E3 // 128 if r3 else 0
     RT = GROWS * S1 if r3 else GROWS
     OW = 128 if r3 else EP
@@ -1115,9 +1124,9 @@ def _make_halo_axis(spec: StreamSpec, D: int, axis: int, CH: int):
 
 def halo_stream(x: jnp.ndarray, nbr: jnp.ndarray, tshape, spec: StreamSpec, D: int, CH: int):
     """Active-major overlap-add: Pallas axis passes when the per-channel
-    window is lane-aligned (E^D % 128 == 0, i.e. 3D), else the XLA gather
+    window is lane-aligned (3D with E^3 % 128 == 0), else the XLA gather
     form (2D windows are 36 lanes — sub-vreg, and 2D configs are small)."""
-    if spec.E**D % 128:
+    if not _use_r3(spec, D):
         return halo_pull(x, nbr, tshape, spec.tile, spec.E)
     A, L = x.shape
     return halo3(x.reshape(A, L // 128, 128), nbr, spec, D, CH).reshape(A, L)
@@ -1163,7 +1172,7 @@ def _blocks_to_dense(blocks, tid, nt: int, spec: StreamSpec, D: int, CH: int):
     transpose (XLA transposes measured ~10ms at 1M scale)."""
     E, EP, G, A = spec.E, spec.EP(D), spec.group, spec.A
     E3 = E**D
-    if E3 % 128 == 0:
+    if _use_r3(spec, D):
         S1 = E3 // 128
         x = blocks.reshape(A, GROWS * S1, 128)[:, : CH * S1, :].reshape(A, CH * E3)
     else:
@@ -1515,7 +1524,7 @@ def _substep_core(
         jnp.float32,
     )
     g = jnp.asarray(cfg.gravity, jnp.float32)
-    if E3 % 128 == 0:
+    if _use_r3(spec, D):
         # rank-3 halo-native path (3D): deposit blocks arrive as
         # [A, ch*S1, 128]; every glue op below is elementwise/reshape on
         # that layout — zero relayout copies between kernels
@@ -1713,7 +1722,7 @@ def substep(
     )
     hs_m = halo_flat(dense1[:, : E**D], tshape, spec.tile, E, 1)
     mgblk = _dense_to_groups(hs_m, st.tid, nt, spec, D, 1, rows=1)
-    if E**D % 128 == 0:  # rank-3 mgblk layout (see make_deposit_kernel)
+    if _use_r3(spec, D):  # rank-3 mgblk layout (see make_deposit_kernel)
         S1 = E**D // 128
         NGg, Gg = spec.NG, spec.group
         mgblk = mgblk.reshape(NGg, Gg, spec.EP(D))[:, :, : E**D].reshape(

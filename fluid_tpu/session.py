@@ -1,0 +1,195 @@
+"""Persistent-state frame driver — the library's interactive loop.
+
+The reference keeps its chunk map alive across frames (``3d_multi.rs:541-563``
+re-uses ``Simulation`` every iteration of the main loop); round 2's bench
+hand-rolled the same thing for the stream backend (bin once, run many frames,
+un-bin once).  ``Session`` makes that the public API: the app, the bench and
+library users all drive frames through it, so interactive use never pays the
+per-frame bin+unbin tax (measured ~35 ms/frame at the 3D reference scene —
+the difference between 3.4x and real-time).
+
+For the stream backend the state stays BINNED on device between frames; the
+console histogram is computed straight from the binned layout (valid-masked
+slot lanes), so a rendered interactive frame transfers only the 80x40 count
+grid to the host.  ``particles()`` un-bins on demand (checkpointing, export).
+
+Other backends (dense/sorted/tiled/pallas) hold a ``ParticleState`` and
+dispatch through ``step.frame`` — same API, no binned state to persist.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import step
+from .config import Config
+from .domain import Domain
+from .state import ParticleState
+
+
+def default_backend() -> str:
+    """Platform-appropriate default: the stream backend is the hot path on
+    TPU (BASELINE.md round-2 table); CPU hosts run kernels in interpreter
+    mode where the dense XLA backend is far faster at reference scale."""
+    return "stream" if jax.default_backend() == "tpu" else "dense"
+
+
+class Session:
+    """Holds simulation state across frames (``Simulation`` analog).
+
+    Parameters
+    ----------
+    cfg, domain : static simulation setup (``Simulation::new`` + ``set_rect``)
+    p : initial particles (``add_particle`` loop, ``2d_multi.rs:502-512``)
+    backend : transfer backend; None -> platform default (stream on TPU)
+    spec : optional StreamSpec override (stream backend only)
+    strict : verify particle conservation after every frame (stream only;
+        one scalar fetch — a mid-run re-bin overflow raises instead of
+        silently simulating fewer particles)
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        domain: Domain,
+        p: ParticleState,
+        backend: Optional[str] = None,
+        spec=None,
+        strict: bool = True,
+    ):
+        self.cfg = cfg
+        self.domain = domain
+        self.backend = backend or default_backend()
+        self.n = p.n
+        self.dim = p.dim
+        self.strict = strict
+        self._frames = 0
+
+        if self.backend == "stream":
+            from .ops import stream_transfer as stx
+
+            self._stx = stx
+            self.spec = spec if spec is not None else stx.default_spec(cfg, domain, p.n)
+            over = int(stx.overflow_count(p.pos, domain, self.spec, vel=p.vel, dt=cfg.dt))
+            if over:
+                raise ValueError(
+                    f"stream spec overflow at t=0: {over} particles do not "
+                    f"fit the slot structure (raise spec.active/cap)"
+                )
+            self._st = jax.jit(
+                lambda q: stx.bin_particles(q, domain, self.spec, dt=cfg.dt)
+            )(p)
+            n = self.n
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def _frame(st, mp, ma):
+                return stx.frame_binned(st, cfg, domain, self.spec, mp, ma, n=n)
+
+            self._frame_fn = _frame
+            self._unbin = jax.jit(
+                lambda st: stx.unbin(st, domain, self.spec, n, self.dim)
+            )
+        else:
+            self.spec = spec
+            self._p = p
+            self._frame_fn = None  # step.frame is already jitted
+
+    # -- frame loop ---------------------------------------------------------
+
+    def frame(self, mouse: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> None:
+        """Advance one frame (``cfg.iterations`` substeps) on device."""
+        mp, ma = mouse if mouse is not None else step.no_mouse()
+        if self.backend == "stream":
+            self._st = self._frame_fn(self._st, mp, ma)
+            if self.strict:
+                live = int(self._st.count.sum())
+                if live != self.n:
+                    raise RuntimeError(
+                        f"particle loss at frame {self._frames}: "
+                        f"sum(count)={live} != n={self.n} — a re-bin "
+                        f"overflowed the slot structure (raise spec.active/cap)"
+                    )
+        else:
+            self._p = step.frame(
+                self._p, self.cfg, self.domain, mp, ma, self.backend
+            )
+        self._frames += 1
+
+    def block_until_ready(self) -> None:
+        leaves = jax.tree_util.tree_leaves(
+            self._st if self.backend == "stream" else self._p
+        )
+        jax.block_until_ready(leaves)
+        float(leaves[0].ravel()[0])  # real fetch — surfaces device faults
+
+    # -- state access -------------------------------------------------------
+
+    def live_count(self) -> int:
+        """Particles currently in the slot structure (== n unless a re-bin
+        overflowed; the conservation invariant strict mode asserts)."""
+        if self.backend == "stream":
+            return int(self._st.count.sum())
+        return self.n
+
+    def particles(self) -> ParticleState:
+        """Current particle state in original order (un-bins on demand)."""
+        if self.backend == "stream":
+            return self._unbin(self._st)
+        return self._p
+
+    def histogram(self, viewport_size, console_size) -> jnp.ndarray:
+        """(H, W) int32 console count grid, straight from device state.
+
+        Stream backend: computed from the binned slot lanes (valid-masked),
+        no un-bin — the only per-frame host transfer of an interactive
+        session is this grid."""
+        if self.backend == "stream":
+            return _stream_histogram(
+                self._st.stream,
+                self._st.count,
+                self.spec.cap,
+                jnp.asarray(viewport_size, jnp.float32),
+                tuple(console_size),
+            )
+        from . import render as render_mod
+
+        return render_mod.histogram(
+            self._p.pos, jnp.asarray(viewport_size, jnp.float32), tuple(console_size)
+        )
+
+    def render(self, viewport_size, console_size) -> list:
+        from . import render as render_mod
+        import numpy as np
+
+        return render_mod.ascii_frame(
+            np.asarray(self.histogram(viewport_size, console_size))
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "console_size"))
+def _stream_histogram(stream, count, cap: int, viewport_size, console_size):
+    """Console histogram from the binned stream layout (xy rows 0/1).
+
+    Invalid slots (lane >= count of their tile) are masked out; 3D projects
+    onto xy exactly like the dense renderer (``3d_multi.rs:473``)."""
+    NG, F, GL = stream.shape
+    A = count.shape[0]
+    x = stream[:, 0, :].reshape(-1)
+    y = stream[:, 1, :].reshape(-1)
+    slot_valid = (
+        jnp.arange(A * cap, dtype=jnp.int32) % cap
+        < jnp.repeat(count, cap, total_repeat_length=A * cap)
+    )
+    w, h = console_size
+    console = jnp.asarray([w, h], jnp.float32)
+    cx = jnp.floor(x / viewport_size[0] * w).astype(jnp.int32)
+    cy = jnp.floor(y / viewport_size[1] * h).astype(jnp.int32)
+    valid = slot_valid & (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    cx = jnp.clip(cx, 0, w - 1)
+    cy = jnp.clip(cy, 0, h - 1)
+    counts = jnp.zeros((h, w), jnp.int32)
+    return counts.at[cy, cx].add(valid.astype(jnp.int32))

@@ -52,6 +52,20 @@ def test_backend_matches_dense_full_frame(backend):
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-3)
 
 
+@pytest.mark.parametrize("backend", ["tiled", "pallas", "stream"])
+def test_fused_backend_through_step_frame(backend):
+    """The public step.frame dispatch path (the one the app and driver use)
+    must route to the backend-fused frames and match dense (VERDICT r2 #8).
+    Reduced iterations keep interpret-mode kernels affordable on CPU."""
+    cfg = default_2d().replace(iterations=3)
+    p, dom = _rand_state(cfg, 512, seed=7)
+    p2 = jax.tree.map(jnp.copy, p)
+    a = step.frame(p, cfg, dom, *step.no_mouse(), "dense")
+    b = step.frame(p2, cfg, dom, *step.no_mouse(), backend)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-3)
+
+
 @pytest.mark.parametrize("backend", ["sorted"])
 def test_backend_with_mouse(backend):
     cfg = default_2d()

@@ -160,6 +160,71 @@ def test_packed_scenes_match_per_scene_dense():
         )
 
 
+def test_rebin_overflow_detected_by_count_sum():
+    """A cap-squeeze re-bin must surface as sum(count) < n (the invariant
+    the bench asserts after every timed stream run).  Forces all particles
+    into one tile mid-run by rebinning a state whose positions were packed
+    beyond cap, and checks the loss is visible — not silent."""
+    cfg, p, dom = _small_case(3, 512, seed=9, vel_scale=0.0)
+    spec = _spec(cfg, dom, 512)
+    st = stx.bin_particles(p, dom, spec)
+    assert int(st.count.sum()) == 512
+    # squeeze: move every particle into the same cell, then re-bin — one
+    # tile holds 512 > cap=128 slots, so the re-bin must drop rows
+    D = 3
+    flat, _ = stx._slots_flat(st, spec)
+    rows = flat.at[:, 0:D].set(10.0)
+    tshape, nt = stx._tile_geometry(dom, spec)
+    src = stx._compact_src(st.count, 512, spec.cap, spec.A)
+    live_rows = jnp.take(rows, src, axis=0)
+    tid = stx._keys_from_pos(live_rows[:, 0:D], dom, spec, tshape)
+    st2 = stx._bin_rows(live_rows, tid, 512, spec, nt, tshape)
+    lost = 512 - int(st2.count.sum())
+    assert lost == 512 - spec.cap, "cap squeeze must drop exactly n - cap rows"
+    assert int(st2.count.sum()) != 512, "loss must be detectable via sum(count)"
+
+
+def test_halo_gblk_kernel_matches_xla_update_path():
+    """The fused last-halo-pass + grid-update kernel (_make_halo_gblk) is
+    TPU-only in _substep_core; run it in interpret mode and check it against
+    the halo3 + XLA grid-update build the CPU branch uses (ADVICE r2)."""
+    cfg, p, dom = _small_case(3, 512, seed=7)
+    spec = _spec(cfg, dom, 512)
+    st = stx.bin_particles(p, dom, spec)
+    D = 3
+    A, E3 = spec.A, spec.E**3
+    S1 = E3 // 128
+    key = jax.random.key(11)
+    k1, k2 = jax.random.split(key)
+    mf3 = jax.random.normal(k1, (A, D * S1, 128), jnp.float32)
+    # mass with zero rows mixed in (masked grid-update path)
+    m_raw = jax.random.uniform(k2, (A, S1, 128), jnp.float32, -0.5, 2.0)
+    hs_m3 = jnp.maximum(m_raw, 0.0)
+    g = jnp.asarray(cfg.gravity, jnp.float32)
+
+    # XLA reference: full halo (gather form) then masked update
+    hs_mf3 = stx.halo3(mf3, st.nbr, spec, D, D)
+    mfv = hs_mf3.reshape(A, D, S1, 128)
+    mav = hs_m3[:, None]
+    vv = jnp.where(
+        mav > 0.0,
+        mfv / jnp.where(mav > 0.0, mav, 1.0) + cfg.dt * g[None, :, None, None],
+        0.0,
+    )
+    ref = jnp.concatenate([vv.reshape(A, D * S1, 128), hs_m3], axis=1)
+
+    # kernel path: D-1 axis-pass kernels then the fused gblk kernel
+    x = mf3
+    for d in range(D - 1):
+        x = stx._make_halo_axis(spec, D, d, D)(x, st.nbr[2 * d], st.nbr[2 * d + 1])
+    got = stx._make_halo_gblk(spec, D, D - 1, cfg.dt, cfg.gravity)(
+        x, hs_m3, st.nbr[2 * (D - 1)], st.nbr[2 * (D - 1) + 1]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), atol=1e-6, rtol=1e-6
+    )
+
+
 def test_halo3_kernel_matches_gather_form():
     """The Pallas separable halo (interpret) is bit-identical to the XLA
     gather form it replaces on TPU (stream_transfer.halo3)."""
