@@ -250,6 +250,48 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
     return total / dt, per_frame
 
 
+def verify_on_device(dim=3, n=20_000, substeps=2):
+    """Hardware equivalence artifact (VERDICT r2 #5): run stream vs dense at
+    small N on the CURRENT platform (the TPU in real runs — every stream
+    correctness test elsewhere runs in interpret mode on CPU) and report the
+    max abs position/velocity error after ``substeps`` substeps.  A
+    Mosaic-only regression (layout, precision, roll semantics) shows up here
+    and lands in the recorded bench JSON."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluid_tpu import step
+    from fluid_tpu.ops import stream_transfer as stx
+
+    cfg, p, dom = _make_scene(dim, n)
+    spec = _stream_spec(cfg, dom, n)
+    mp, ma = step.no_mouse()
+
+    @jax.jit
+    def run_dense(q):
+        def body(_, q):
+            return step.substep(q, cfg, dom, mp, ma, backend="dense")[0]
+
+        return jax.lax.fori_loop(0, substeps, body, q)
+
+    @jax.jit
+    def run_stream(q):
+        st = stx.bin_particles(q, dom, spec, dt=cfg.dt)
+        st = stx.frame_binned(st, cfg, dom, spec, mp, ma, substeps=substeps, n=n)
+        return stx.unbin(st, dom, spec, n, cfg.dim)
+
+    a = jax.block_until_ready(run_dense(p))
+    b = jax.block_until_ready(run_stream(p))
+    err_pos = float(jnp.abs(a.pos - b.pos).max())
+    err_vel = float(jnp.abs(a.vel - b.vel).max())
+    if not (err_pos < 1e-3 and err_vel < 1e-3):
+        raise RuntimeError(
+            f"stream-vs-dense verification FAILED on this platform: "
+            f"max|dpos|={err_pos:.2e} max|dvel|={err_vel:.2e} (tol 1e-3)"
+        )
+    return {"pos": err_pos, "vel": err_vel, "n": n, "substeps": substeps}
+
+
 CONFIGS = {
     # name: (dim, particles, frames, batch, baseline_key, backends)
     "2d-ref": (2, 4096, 20, None, "2d_reference_frame", ("stream", "dense", "tiled")),
@@ -312,6 +354,10 @@ def main(argv=None):
     )
     ap.add_argument("--platform", default=None, choices=(None, "cpu", "tpu"))
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--no-verify", action="store_true",
+        help="skip the on-device stream-vs-dense equivalence stage",
+    )
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -322,6 +368,12 @@ def main(argv=None):
     import jax
 
     baselines = _load_baseline()
+    verify = None
+    if not args.no_verify:
+        verify = verify_on_device(n=4_000 if args.quick else 20_000)
+        print(f"# verify(stream-vs-dense, {jax.default_backend()}): "
+              f"max|dpos|={verify['pos']:.2e} max|dvel|={verify['vel']:.2e}",
+              file=sys.stderr)
     names = list(CONFIGS) if args.config == "all" else [args.config]
     results = [run_config(n, args.backend, args.quick, baselines) for n in names]
 
@@ -336,6 +388,8 @@ def main(argv=None):
         "vs_baseline": head["vs_baseline"],
         "s_per_frame": head["s_per_frame"],
     }
+    if verify is not None:
+        out["verify_max_abs_err"] = {"pos": verify["pos"], "vel": verify["vel"]}
     print(json.dumps(out))
 
 

@@ -1319,9 +1319,20 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=No
     count_t = (start[1:] - start[:-1])[:nt]  # real tiles only
 
     # active set = cube-DILATED occupancy: zero-count shell tiles act as
-    # halo relays (see _dilate); kernels skip them via count == 0
-    occ = _dilate(count_t > 0, tshape)
-    occ_rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    # halo relays (see _dilate); kernels skip them via count == 0.
+    # OCCUPIED-FIRST ordering (round 3): at 3d-1m roughly half the actives
+    # are empty shell tiles, and interleaving them with occupied tiles makes
+    # nearly every kernel GROUP contain a particle — so the per-group window
+    # and value builds (the dominant non-dot kernel cost) run for all NG
+    # groups.  Ranking occupied tiles first packs the shells into tail
+    # groups whose tot==0 fast path skips all compute.
+    occ_p = count_t > 0
+    occ = _dilate(occ_p, tshape)
+    shell = occ & ~occ_p
+    n_occ = occ_p.sum().astype(jnp.int32)
+    rank_p = jnp.cumsum(occ_p.astype(jnp.int32)) - 1
+    rank_s = n_occ + jnp.cumsum(shell.astype(jnp.int32)) - 1
+    occ_rank = jnp.where(occ_p, rank_p, rank_s)
     act_of_tile = jnp.where(occ & (occ_rank < A), occ_rank, A)
     tid_act = jnp.full((A,), -1, jnp.int32)
     tid_act = tid_act.at[jnp.clip(act_of_tile, 0, A - 1)].max(
@@ -1530,7 +1541,12 @@ def _substep_core(
         # that layout — zero relayout copies between kernels
         S1 = E3 // 128
         d1 = dep1.reshape(A, GROWS * S1, 128)
-        hs_m3 = halo3(d1[:, : S1], st.nbr, spec, D, 1)  # [A, S1, 128]
+        # mass halo via the XLA gather form: at 2KB rows the Pallas DMA
+        # kernel is latency-bound and LOSES to the gather (measured 8.4 vs
+        # ~4 ms at 3d-1m); the fat m+f rows below keep the kernel path
+        hs_m3 = halo_pull(
+            d1[:, :S1].reshape(A, E3), st.nbr, tshape, T, E
+        ).reshape(A, S1, 128)
         mgblk = hs_m3.reshape(NG, G * S1, 128)
         dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
         d2 = dep2.reshape(A, GROWS * S1, 128)
@@ -1778,9 +1794,11 @@ def overflow_count(pos: jnp.ndarray, domain: Domain, spec: StreamSpec, vel=None,
     # active budget check mirrors binning: the DILATED occupancy must fit A
     # in full — a dropped zero-count shell tile would silently break a halo
     # relay path, so over-budget shell tiles count as overflow too.
-    dil = _dilate(count_t > 0, tshape).astype(jnp.int32)
-    occ_rank = jnp.cumsum(dil) - 1
+    # Ranks mirror _bin_rows' occupied-first ordering.
+    occ_p = count_t > 0
+    dil = _dilate(occ_p, tshape)
+    rank_p = jnp.cumsum(occ_p.astype(jnp.int32)) - 1
     s_rank = ranks - jnp.take(start[:-1], sid)
-    a_rank = jnp.take(occ_rank, sid)
+    a_rank = jnp.take(rank_p, sid)  # occupied tiles rank first
     frozen = (s_rank >= spec.cap) | (a_rank >= spec.A)
-    return frozen.sum() + jnp.maximum(0, dil.sum() - spec.A)
+    return frozen.sum() + jnp.maximum(0, dil.sum().astype(jnp.int32) - spec.A)

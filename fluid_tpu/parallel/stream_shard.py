@@ -1,0 +1,618 @@
+"""Multi-chip stream backend — the flagship path, sharded (round 3).
+
+Round 2's ``parallel/shard.py`` proved the chunk-halo/migration structure
+(``/root/reference/src/2d_multi.rs:79-87,327-358``) on a TPU mesh, but its
+local substep is the per-tap scatter formulation this repo measured ~100x
+off the roofline.  This module shards the PERSISTENT-BINNED STREAM backend
+instead — the same Pallas kernels that hold the single-chip headline run
+unchanged on each device's tile slab:
+
+* **Decomposition**: 1-D x-slabs in TILE space.  Device d owns global tile
+  columns ``[d*TS, (d+1)*TS)``; its local tile grid is ``TS + 2`` columns —
+  one GHOST column per side (local tx=0 and tx=TS+1), the ``p_rect`` analog.
+* **Halo**: windows only ever reach one tile over (h <= T), so after each
+  deposit kernel the edge-owned columns' blocks (local tx=1 and tx=TS) are
+  ``lax.ppermute``d into the neighbors' ghost columns, and the ordinary
+  separable halo (x axis FIRST) completes all sums locally.  Two block
+  exchanges per substep (p2g_1 mass+momentum, p2g_2 force) ride ICI.
+  Ghost tiles are ordinary zero-count actives: the cube dilation of the
+  LOCAL occupancy activates exactly the ghosts that can carry flow (a
+  neighbor's deposits can only reach my owned cells when my own edge tile
+  is occupied — its windows stop 2 cells short otherwise).
+* **Migration**: particles stay validly binned between re-bins (the drift
+  window argument is unchanged), so slots migrate only when the re-bin
+  fires — which all devices agree on via ``lax.pmax`` over the drift flags.
+  Movers (new key in a ghost column) are packed into fixed-capacity
+  emigrant buffers, ppermuted, and re-binned together with the local rows
+  (the ``swap_mul`` analog, ``2d_multi.rs:327-358``).
+
+Equivalence is tested against the dense backend on an 8-virtual-device CPU
+mesh (tests/test_stream_shard.py); ``__graft_entry__.dryrun_multichip``
+exercises the same path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..domain import Domain
+from ..state import ParticleState
+from ..ops import stream_transfer as stx
+from ..ops.stream_transfer import StreamSpec, StreamState
+
+AXIS = "space"
+
+
+# ---------------------------------------------------------------------------
+# Static geometry
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamShardSpec:
+    """Static sharded-stream geometry (hashable => jit-static).
+
+    ``local`` is the per-device StreamSpec; its ``active`` budget covers the
+    local slab's dilated occupancy plus the two ghost columns."""
+
+    domain: Domain  # GLOBAL domain
+    n_shards: int
+    ts: int  # owned tile columns per device
+    spec: StreamSpec  # local per-device stream spec
+    migrate_cap: int  # max emigrants per direction per re-bin
+
+    @property
+    def tile(self) -> int:
+        return self.spec.tile
+
+    @property
+    def local_domain(self) -> Domain:
+        """Device-relative domain template: x spans (TS+2) tile columns.
+
+        The x origin is per-device (origin_x + (d*TS - 1)*T); kernels take
+        the origin as data-independent STATIC geometry, so the local domain
+        uses the device-0 template and the per-device shift is applied to
+        positions' tile keys via ``_local_origin`` inside shard_map."""
+        T = self.tile
+        shape = ((self.ts + 2) * T, *self.domain.shape[1:])
+        origin = (self.domain.origin[0] - T, *self.domain.origin[1:])
+        return Domain(
+            origin=origin, shape=shape,
+            a_rect=self.domain.a_rect, p_rect=self.domain.p_rect,
+        )
+
+    @property
+    def ncol(self) -> int:
+        """Tiles per x-column (= y*z tile count) — the exchange width."""
+        T = self.tile
+        return math.prod(s // T for s in self.domain.shape[1:])
+
+    def __post_init__(self):
+        T = self.spec.tile
+        if self.domain.shape[0] % T:
+            raise ValueError("global x extent not tile-aligned")
+        if self.spec.halo > T:
+            raise ValueError("ghost-column halo requires halo <= tile")
+
+
+def default_shard_spec(
+    cfg: Config, domain: Domain, n_shards: int, n: int, interpret: Optional[bool] = None
+) -> StreamShardSpec:
+    T = 4
+    ntx = domain.shape[0] // T
+    ts = -(-ntx // n_shards)  # ceil: the conceptual grid pads up to s*ts
+    ncol = math.prod(s // T for s in domain.shape[1:])
+    per_tile = cfg.rest_density * T**cfg.dim
+    # local budget: the slab's share of particles at stream-spec slack, plus
+    # both ghost columns (always allocatable), capped by the local tile count
+    occupied = max(2048, int(n / n_shards / max(per_tile, 1.0)) * 32)
+    nt_local = (ts + 2) * ncol
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    spec = StreamSpec(
+        tile=T, cap=128, halo=2, group=8,
+        active=min(occupied + 2 * ncol, nt_local, 110_000),
+        interpret=interpret,
+    )
+    mcap = max(256, n // n_shards // 4)
+    return StreamShardSpec(
+        domain=domain, n_shards=n_shards, ts=ts, spec=spec, migrate_cap=mcap
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardStreamState:
+    """Per-device stream state plus the column exchange tables.
+
+    ``col`` [4, ncol]: active indices (A = absent) of the x-columns
+    [own-left tx=1, own-right tx=TS, ghost-left tx=0, ghost-right tx=TS+1],
+    ordered by (ty, tz).  Rebuilt at (re-)bin time."""
+
+    st: StreamState
+    col: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Local binning helpers (run inside shard_map; all static shapes)
+# ---------------------------------------------------------------------------
+
+
+def _local_tshape(sspec: StreamShardSpec):
+    T = sspec.tile
+    dom = sspec.local_domain
+    return tuple(s // T for s in dom.shape)
+
+
+def _col_table(tid_act, sspec: StreamShardSpec) -> jnp.ndarray:
+    """[4, ncol] active index of each exchange column's tiles."""
+    tshape = _local_tshape(sspec)
+    nt = math.prod(tshape)
+    A = sspec.spec.A
+    rs = math.prod(tshape[1:])  # tiles per x column
+    inv = jnp.full((nt + 1,), A, jnp.int32)
+    inv = inv.at[jnp.clip(tid_act, 0, nt)].min(
+        jnp.where(tid_act < nt, jnp.arange(A, dtype=jnp.int32), A)
+    )
+    cols = []
+    for tx in (1, sspec.ts, 0, sspec.ts + 1):
+        base = tx * rs
+        cols.append(lax.dynamic_slice(inv, (base,), (rs,)))
+    return jnp.stack(cols, axis=0)
+
+
+def _local_origin_shift(sspec: StreamShardSpec):
+    """Per-device x shift (in cells) of the local domain template."""
+    T = sspec.tile
+    d = lax.axis_index(AXIS)
+    return d * sspec.ts * T
+
+
+def _shift_pos_x(pos, sspec: StreamShardSpec, sign: int):
+    """Map global positions into the device-0 local template (and back)."""
+    shift = _local_origin_shift(sspec).astype(pos.dtype)
+    return pos.at[..., 0].add(sign * shift)
+
+
+def _bin_local(rows, n_rows: int, sspec: StreamShardSpec, keys) -> ShardStreamState:
+    """_bin_rows on the local template + column tables."""
+    spec = sspec.spec
+    tshape = _local_tshape(sspec)
+    nt = math.prod(tshape)
+    st = stx._bin_rows(rows, keys, n_rows, spec, nt, tshape)
+    return ShardStreamState(st=st, col=_col_table(st.tid, sspec))
+
+
+def _local_keys(pos_local, vel, sspec: StreamShardSpec, dt: float):
+    """Predictive tile keys in the local template (pos already shifted)."""
+    tshape = _local_tshape(sspec)
+    return stx._keys_from_pos(
+        pos_local, sspec.local_domain, sspec.spec, tshape, vel=vel, dt=dt
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ghost-column block exchange
+# ---------------------------------------------------------------------------
+
+
+def _perm_left(s):
+    return [(i, i - 1) for i in range(1, s)]
+
+
+def _perm_right(s):
+    return [(i, i + 1) for i in range(s - 1)]
+
+
+def _exchange_blocks(blocks, col, sspec: StreamShardSpec):
+    """Fill ghost columns with the neighbors' edge-owned deposit blocks.
+
+    blocks: [A, R, 128] (rank-3 kernel block layout) or [A, L] flat.  Rows
+    of absent tiles (col == A) travel as zeros and land nowhere."""
+    s = sspec.n_shards
+    A = sspec.spec.A
+    flat = blocks.reshape(A, -1)
+    zero_row = jnp.zeros((1, flat.shape[1]), flat.dtype)
+    padded = jnp.concatenate([flat, zero_row], axis=0)
+
+    def col_take(idx):
+        return jnp.take(padded, jnp.clip(idx, 0, A), axis=0)
+
+    send_l = col_take(col[0])  # my left-owned column -> left neighbor
+    send_r = col_take(col[1])  # my right-owned column -> right neighbor
+    recv_r = lax.ppermute(send_l, AXIS, _perm_left(s))  # arrives at right ghost
+    recv_l = lax.ppermute(send_r, AXIS, _perm_right(s))  # arrives at left ghost
+
+    def col_put(dst, idx, rows):
+        ok = idx < A
+        safe = jnp.clip(idx, 0, A - 1)
+        cur = jnp.take(dst, safe, axis=0)
+        return dst.at[safe].set(jnp.where(ok[:, None], rows, cur))
+
+    out = col_put(flat, col[3], recv_r)
+    out = col_put(out, col[2], recv_l)
+    return out.reshape(blocks.shape)
+
+
+# ---------------------------------------------------------------------------
+# Sharded substep (inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _sharded_substep_core(
+    ss: ShardStreamState,
+    dep1,
+    cfg: Config,
+    sspec: StreamShardSpec,
+    mouse_pos,
+    mouse_active,
+    fused: bool,
+):
+    """_substep_core with ghost exchanges spliced between deposit and halo.
+
+    Mirrors stream_transfer._substep_core exactly, except dep1/dep2 blocks
+    pass through _exchange_blocks before any halo pass (x runs first, so one
+    ghost fill per deposit completes all cross-device flow)."""
+    D = cfg.dim
+    spec = sspec.spec
+    st = ss.st
+    domain = sspec.local_domain
+    tshape = _local_tshape(sspec)
+    T, E, h = spec.tile, spec.E, spec.halo
+    EP = spec.EP(D)
+    A, NG, G = spec.A, spec.NG, spec.group
+    E3 = E**D
+    origin = tuple(int(o) for o in domain.origin)
+
+    dep2_k = stx.make_deposit_kernel(spec, D, tshape, origin, "p2g2")
+    coll_k = stx.make_collect_kernel(spec, D, tshape, origin, fused_p2g1=fused)
+
+    params6 = jnp.asarray(
+        [cfg.dt, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power,
+         cfg.pressure_floor, cfg.dynamic_viscosity],
+        jnp.float32,
+    )
+    g = jnp.asarray(cfg.gravity, jnp.float32)
+
+    dep1 = _exchange_blocks(
+        dep1.reshape(A, -1), ss.col, sspec
+    ).reshape(dep1.shape)
+
+    if stx._use_r3(spec, D):
+        S1 = E3 // 128
+        d1 = dep1.reshape(A, stx.GROWS * S1, 128)
+        hs_m3 = stx.halo_pull(
+            d1[:, :S1].reshape(A, E3), st.nbr, tshape, T, E
+        ).reshape(A, S1, 128)
+        mgblk = hs_m3.reshape(NG, G * S1, 128)
+        dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
+        dep2 = _exchange_blocks(dep2, ss.col, sspec)
+        d2 = dep2.reshape(A, stx.GROWS * S1, 128)
+        mf3 = d1[:, S1 : (1 + D) * S1] + d2[:, : D * S1]
+        if not spec.interpret:
+            for d in range(D - 1):
+                mf3 = stx._make_halo_axis(spec, D, d, D)(
+                    mf3, st.nbr[2 * d], st.nbr[2 * d + 1]
+                )
+            gblk = stx._make_halo_gblk(spec, D, D - 1, cfg.dt, cfg.gravity)(
+                mf3, hs_m3, st.nbr[2 * (D - 1)], st.nbr[2 * (D - 1) + 1]
+            ).reshape(NG, G * stx.GROWS * S1, 128)
+        else:
+            hs_mf3 = stx.halo3(mf3, st.nbr, spec, D, D)
+            mfv = hs_mf3.reshape(A, D, S1, 128)
+            mav = hs_m3[:, None]
+            vv = jnp.where(
+                mav > 0.0,
+                mfv / jnp.where(mav > 0.0, mav, 1.0)
+                + cfg.dt * g[None, :, None, None],
+                0.0,
+            )
+            gblk = jnp.concatenate(
+                [vv.reshape(A, D * S1, 128), hs_m3], axis=1
+            ).reshape(NG, G * stx.GROWS * S1, 128)
+    else:
+        blk1 = dep1.reshape(A, stx.GROWS, EP)[:, : 1 + D, :E3]
+        hs_m = stx.halo_stream(blk1[:, 0, :], st.nbr, tshape, spec, D, 1)
+        mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
+        dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
+        dep2 = _exchange_blocks(dep2, ss.col, sspec)
+        blk2 = dep2.reshape(A, stx.GROWS, EP)[:, :D, :E3]
+        hs_mf = stx.halo_stream(
+            (blk1[:, 1:, :] + blk2).reshape(A, D * E3), st.nbr, tshape, spec, D, D
+        )
+        mf = hs_mf.reshape(A, D, E3)
+        ma_ = hs_m.reshape(A, 1, E3)
+        v = jnp.where(
+            ma_ > 0.0,
+            mf / jnp.where(ma_ > 0.0, ma_, 1.0) + cfg.dt * g[None, :, None],
+            0.0,
+        )
+        gblk = jnp.concatenate([v, ma_], axis=1)
+        gblk = jnp.pad(gblk, ((0, 0), (0, stx.GROWS - 1 - D), (0, EP - E3)))
+        gblk = gblk.reshape(NG, G * stx.GROWS, EP)
+
+    # g2p runs in GLOBAL coordinates: shift the stream's x row into the
+    # local template only where tile geometry is involved — the collect
+    # kernel derives cells from pos, so feed it locally-shifted positions
+    # and shift back afterwards.  (The stream already stores local x; see
+    # shard_stream/bin.)
+    params = stx._collect_params(cfg, mouse_pos, mouse_active, D, spec.scene_stride)
+    # boundary walls are global: express them in local coordinates
+    shift = _local_origin_shift(sspec).astype(jnp.float32)
+    params = params.at[8].add(-shift)  # mouse x
+    params = params.at[10].add(-shift)  # clip_lo x
+    params = params.at[10 + D].add(-shift)  # clip_hi x
+    outs = coll_k(st.count, st.tid, params, st.stream, gblk)
+    new_stream, flag = outs[0], outs[1]
+    dep1_next = outs[2] if fused else None
+    st2 = StreamState(
+        stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr
+    )
+    return ShardStreamState(st=st2, col=ss.col), dep1_next
+
+
+def _extract_k(mask, prio_iota, k: int):
+    """Indices of the first k set entries (by iota order) + validity."""
+    n = mask.shape[0]
+    prio = jnp.where(mask, prio_iota, n)
+    order = jnp.argsort(prio)[:k]
+    valid = jnp.take(mask, order)
+    return order, valid
+
+
+def _sharded_rebin(
+    ss: ShardStreamState, cfg: Config, sspec: StreamShardSpec
+) -> ShardStreamState:
+    """Re-bin + slot migration (the swap_mul analog).
+
+    Slot-shaped (O(A*cap)): per-device live counts are dynamic, so the
+    compacted O(n) form does not apply; local slot counts are a fraction of
+    the global N.  Movers are slots whose predictive key lands in a ghost
+    column; each direction ships up to migrate_cap rows."""
+    spec = sspec.spec
+    D = cfg.dim
+    s = sspec.n_shards
+    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
+    mcap = sspec.migrate_cap
+    st = ss.st
+    F = st.stream.shape[1]
+    tshape = _local_tshape(sspec)
+    nt = math.prod(tshape)
+    rs = math.prod(tshape[1:])
+
+    flat = (
+        st.stream.reshape(NG, F, G, cap).transpose(0, 2, 3, 1).reshape(A * cap, F)
+    )
+    slot_valid = (
+        jnp.arange(A * cap, dtype=jnp.int32) % cap
+        < jnp.repeat(st.count, cap, total_repeat_length=A * cap)
+    )
+    keys = _local_keys(flat[:, 0:D], flat[:, D : 2 * D], sspec, cfg.dt)
+    keys = jnp.where(slot_valid, keys, nt)
+
+    tx = keys // rs  # local tile x column
+    go_left = slot_valid & (tx == 0)
+    go_right = slot_valid & (tx == sspec.ts + 1)
+
+    iota = jnp.arange(A * cap, dtype=jnp.int32)
+    sel_l, val_l = _extract_k(go_left, iota, mcap)
+    sel_r, val_r = _extract_k(go_right, iota, mcap)
+    em_l = jnp.take(flat, sel_l, axis=0)
+    em_r = jnp.take(flat, sel_r, axis=0)
+    em_l = jnp.where(val_l[:, None], em_l, 0.0)
+    em_r = jnp.where(val_r[:, None], em_r, 0.0)
+    # emigrant x leaves in GLOBAL coordinates (templates differ per device)
+    shift = _local_origin_shift(sspec).astype(jnp.float32)
+    em_l = em_l.at[:, 0].add(jnp.where(val_l, shift, 0.0))
+    em_r = em_r.at[:, 0].add(jnp.where(val_r, shift, 0.0))
+
+    # ship; leavers key to the sentinel locally
+    keys = keys.at[sel_l].set(jnp.where(val_l, nt, jnp.take(keys, sel_l)))
+    keys = keys.at[sel_r].set(jnp.where(val_r, nt, jnp.take(keys, sel_r)))
+    im_r, imv_r = lax.ppermute((em_l, val_l), AXIS, _perm_left(s))
+    im_l, imv_l = lax.ppermute((em_r, val_r), AXIS, _perm_right(s))
+    im_l = im_l.at[:, 0].add(jnp.where(imv_l, -shift, 0.0))
+    im_r = im_r.at[:, 0].add(jnp.where(imv_r, -shift, 0.0))
+
+    im = jnp.concatenate([im_l, im_r], axis=0)
+    imv = jnp.concatenate([imv_l, imv_r], axis=0)
+    im_keys = _local_keys(im[:, 0:D], im[:, D : 2 * D], sspec, cfg.dt)
+    im_keys = jnp.where(imv, im_keys, nt)
+
+    rows = jnp.concatenate([flat, im], axis=0)
+    all_keys = jnp.concatenate([keys, im_keys], axis=0)
+    return _bin_local(rows, rows.shape[0], sspec, all_keys)
+
+
+def sharded_frame_binned(
+    ss: ShardStreamState,
+    cfg: Config,
+    sspec: StreamShardSpec,
+    mouse_pos,
+    mouse_active,
+    substeps: Optional[int] = None,
+):
+    """Per-device frame body (call inside shard_map): substeps with
+    mesh-agreed drift-triggered re-bins + migration."""
+    spec = sspec.spec
+    D = cfg.dim
+    tshape = _local_tshape(sspec)
+    origin = tuple(int(o) for o in sspec.local_domain.origin)
+    n_sub = cfg.iterations if substeps is None else substeps
+    dep1_k = stx.make_deposit_kernel(spec, D, tshape, origin, "p2g1")
+
+    def body(_, carry):
+        ss, dep1 = carry
+        ss, dep1_next = _sharded_substep_core(
+            ss, dep1, cfg, sspec, mouse_pos, mouse_active, fused=True
+        )
+
+        def do_rebin(ss):
+            ss2 = _sharded_rebin(ss, cfg, sspec)
+            return ss2, dep1_k(ss2.st.count, ss2.st.tid, ss2.st.stream)
+
+        # all devices must agree (collectives inside both branches)
+        need = lax.pmax(
+            stx.needs_rebin(ss.st, sspec.local_domain, spec, D).astype(jnp.int32),
+            AXIS,
+        )
+        return lax.cond(need > 0, do_rebin, lambda s: (s, dep1_next), ss)
+
+    dep1_0 = dep1_k(ss.st.count, ss.st.tid, ss.st.stream)
+    ss, _ = lax.fori_loop(0, n_sub, body, (ss, dep1_0))
+    return ss
+
+
+# ---------------------------------------------------------------------------
+# Host-side shard construction / gather / frame driver
+# ---------------------------------------------------------------------------
+
+
+def shard_stream(
+    p: ParticleState, cfg: Config, sspec: StreamShardSpec, mesh: Mesh
+) -> ShardStreamState:
+    """Bin particles into per-device local streams ([s, ...] leading axis
+    sharded over the mesh).  Positions are stored in each device's LOCAL
+    template coordinates (x shifted by -d*TS*T)."""
+    import numpy as np
+
+    spec = sspec.spec
+    s, T = sspec.n_shards, sspec.tile
+    D = p.dim
+    n = p.n
+    tshape = _local_tshape(sspec)
+    nt = math.prod(tshape)
+
+    pos = np.asarray(p.pos)
+    # ownership must follow the PREDICTIVE key (the same pos+lookahead keys
+    # local binning uses): owner-by-raw-position lets a boundary resident
+    # predictively key into its own ghost column, where the block exchange
+    # would overwrite its deposits
+    gtshape = tuple(sh // T for sh in sspec.domain.shape)
+    gkeys = np.asarray(
+        stx._keys_from_pos(
+            p.pos, sspec.domain, spec, gtshape, vel=p.vel, dt=cfg.dt
+        )
+    )
+    gtx = gkeys // math.prod(gtshape[1:])
+    owner = np.clip(gtx // sspec.ts, 0, s - 1)
+
+    rows_np = np.concatenate(
+        [
+            pos,
+            np.asarray(p.vel),
+            np.asarray(p.C).reshape(n, D * D),
+            np.asarray(p.mass)[:, None],
+            np.arange(n, dtype=np.float32)[:, None],
+            np.asarray(p.density)[:, None],
+            np.asarray(p.pressure)[:, None],
+        ],
+        axis=1,
+    )
+    F = rows_np.shape[1]
+    n_max = sspec.spec.A * sspec.spec.cap  # static per-device row budget
+    per_rows = np.zeros((s, n_max, F), np.float32)
+    per_n = np.zeros((s,), np.int64)
+    for d in range(s):
+        ids = np.nonzero(owner == d)[0]
+        if len(ids) > n_max:
+            raise ValueError(f"shard {d}: {len(ids)} particles > budget {n_max}")
+        r = rows_np[ids].copy()
+        r[:, 0] -= d * sspec.ts * T  # into the local template
+        per_rows[d, : len(ids)] = r
+        per_n[d] = len(ids)
+
+    # local binning per device on host (trace-free, small)
+    def bin_one(d):
+        rows = jnp.asarray(per_rows[d])
+        valid = jnp.arange(n_max) < int(per_n[d])
+        keys = stx._keys_from_pos(
+            rows[:, 0:D], sspec.local_domain, spec, tshape,
+            vel=rows[:, D : 2 * D], dt=cfg.dt,
+        )
+        keys = jnp.where(valid, keys, nt)
+        return _bin_local(rows, n_max, sspec, keys)
+
+    states = [jax.tree.map(np.asarray, bin_one(d)) for d in range(s)]
+    # leading device axis MERGED into dim 0 ([s*NG, ...], [s*A], ...): under
+    # shard_map P(AXIS) each device then sees exactly the per-device shapes
+    stacked = jax.tree.map(
+        lambda *xs: np.stack(xs).reshape((-1,) + xs[0].shape[1:]), *states
+    )
+    sharding = NamedSharding(mesh, P(AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), stacked)
+
+
+def gather_stream(
+    ss: ShardStreamState, cfg: Config, sspec: StreamShardSpec, n: int
+) -> ParticleState:
+    """Collect all devices' live slots back to one ordered ParticleState."""
+    spec = sspec.spec
+    D = cfg.dim
+    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
+    s, T = sspec.n_shards, sspec.tile
+    st = jax.tree.map(np.asarray, ss.st)
+    F = st.stream.shape[-2]
+    stream_d = st.stream.reshape(s, NG, F, G * cap)
+    count_d = st.count.reshape(s, A)
+    out = np.zeros((n, F), np.float32)
+    seen = 0
+    for d in range(s):
+        flat = (
+            stream_d[d].reshape(NG, F, G, cap).transpose(0, 2, 3, 1).reshape(A * cap, F)
+        )
+        valid = (
+            np.arange(A * cap) % cap
+            < np.repeat(count_d[d], cap)
+        )
+        rows = flat[valid]
+        rows[:, 0] += d * sspec.ts * T  # back to global x
+        ids = rows[:, 2 * D + D * D + 1].astype(np.int64)
+        out[ids] = rows
+        seen += len(rows)
+    assert seen == n, f"particle loss across shards: {seen} != {n}"
+    return ParticleState(
+        pos=jnp.asarray(out[:, 0:D]),
+        vel=jnp.asarray(out[:, D : 2 * D]),
+        C=jnp.asarray(out[:, 2 * D : 2 * D + D * D].reshape(n, D, D)),
+        mass=jnp.asarray(out[:, 2 * D + D * D]),
+        density=jnp.asarray(out[:, 2 * D + D * D + 2]),
+        pressure=jnp.asarray(out[:, 2 * D + D * D + 3]),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sspec", "mesh", "substeps"),
+    donate_argnames=("ss",),
+)
+def sharded_stream_frame(
+    ss: ShardStreamState,
+    cfg: Config,
+    sspec: StreamShardSpec,
+    mesh: Mesh,
+    mouse_pos,
+    mouse_active,
+    substeps: Optional[int] = None,
+):
+    """One frame of the sharded stream backend (shard_map over "space")."""
+
+    def local(ss, mp, ma):
+        return sharded_frame_binned(ss, cfg, sspec, mp, ma, substeps=substeps)
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(AXIS), P(), P()), out_specs=P(AXIS),
+        # pallas_call emits ShapeDtypeStructs without vma annotations
+        check_vma=False,
+    )
+    return fn(ss, mouse_pos, mouse_active)

@@ -1,0 +1,86 @@
+"""Sharded stream backend vs dense (VERDICT r2 #3).
+
+Runs the flagship persistent-binned stream backend over a multi-device CPU
+mesh (8 virtual devices via conftest) and checks a full multi-substep frame
+— including drift-triggered re-bins and cross-slab slot migration — against
+the dense backend at 1e-3 (the north-star tolerance).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from fluid_tpu import step
+from fluid_tpu.config import default_3d
+from fluid_tpu.domain import make_domain
+from fluid_tpu.parallel import stream_shard as sh
+from fluid_tpu.state import ParticleState
+
+
+def _case(n=384, seed=0, vel_scale=3.0):
+    cfg = default_3d().replace(
+        boundary_clip=((0.0,) * 3, (32.0,) * 3), grid_res=16
+    )
+    dom = make_domain(cfg, halo_cells=4)
+    key = jax.random.key(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    pos = jax.random.uniform(k1, (n, 3), jnp.float32, 8.0, 24.0)
+    p = ParticleState.create(pos)
+    p.vel = jax.random.normal(k2, p.vel.shape) * vel_scale
+    p.C = jax.random.normal(k3, p.C.shape) * 0.05
+    return cfg, p, dom
+
+
+def _dense(cfg, dom, p, substeps):
+    mp, ma = step.no_mouse()
+
+    @jax.jit
+    def run(q):
+        def body(_, q):
+            return step.substep(q, cfg, dom, mp, ma)[0]
+
+        return jax.lax.fori_loop(0, substeps, body, q)
+
+    return run(p)
+
+
+@pytest.mark.parametrize("s", [2, 4])
+def test_sharded_stream_matches_dense(s):
+    cfg, p, dom = _case()
+    n = p.n
+    sspec = sh.default_shard_spec(cfg, dom, s, n)
+    mesh = Mesh(np.array(jax.devices()[:s]), (sh.AXIS,))
+    ss = sh.shard_stream(p, cfg, sspec, mesh)
+    mp, ma = step.no_mouse()
+    substeps = 8  # fast particles force re-bins + migration within this
+    out = sh.sharded_stream_frame(ss, cfg, sspec, mesh, mp, ma, substeps=substeps)
+    got = sh.gather_stream(out, cfg, sspec, n)  # asserts conservation
+    want = _dense(cfg, dom, p, substeps)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel), atol=1e-3)
+
+
+def test_sharded_migration_moves_particles():
+    """Particles seeded moving +x must change owners across a frame."""
+    cfg, p, dom = _case(n=256, seed=1, vel_scale=0.0)
+    import dataclasses
+
+    vel = jnp.zeros_like(p.vel).at[:, 0].set(6.0)
+    p = dataclasses.replace(p, vel=vel)
+    s = 2
+    sspec = sh.default_shard_spec(cfg, dom, s, p.n)
+    mesh = Mesh(np.array(jax.devices()[:s]), (sh.AXIS,))
+    ss = sh.shard_stream(p, cfg, sspec, mesh)
+    before = np.asarray(ss.st.count).reshape(s, -1).sum(axis=1)
+    mp, ma = step.no_mouse()
+    out = sh.sharded_stream_frame(ss, cfg, sspec, mesh, mp, ma, substeps=10)
+    after = np.asarray(out.st.count).reshape(s, -1).sum(axis=1)
+    assert int(after.sum()) == p.n, "particles lost in migration"
+    assert after[1] > before[1], "no particles migrated to the +x shard"
+    got = sh.gather_stream(out, cfg, sspec, p.n)
+    want = _dense(cfg, dom, p, 10)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos), atol=1e-3)
