@@ -1311,10 +1311,13 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=No
     sid = jnp.take(tid_of_particle, order)
     # start[t] = first sorted rank with tile id >= t.  scan_unrolled binary
     # search wins for ~32k queries over 1M keys (7.1 ms vs sort-method's
-    # 10.5 and scatter-min + cummin's ~25 on v5e).
+    # 10.5 and scatter-min + cummin's ~25 on v5e); at packed-scene scale
+    # (batch-64: 373k tiles) the query count dwarfs the keys and the sort
+    # method wins instead.
+    method = "scan_unrolled" if nt <= 65536 else "sort"
     start = jnp.searchsorted(
         sid, jnp.arange(nt + 2, dtype=sid.dtype), side="left",
-        method="scan_unrolled",
+        method=method,
     ).astype(jnp.int32)
     count_t = (start[1:] - start[:-1])[:nt]  # real tiles only
 
@@ -1348,6 +1351,9 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=No
     valid = s_io[None, :] < count_act[:, None]
     perm = order if row_idx is None else jnp.take(row_idx, order)
     srows = jnp.take(rows, perm, axis=0)  # [n, F] tile-sorted
+    # keep bidx MONOTONIC including pad slots (clip, never re-point): v5e
+    # row gathers from sequential addresses are ~3x cheaper, and rerouting
+    # invalid slots to row 0 measured 34% slower at 2d-100k (round 3)
     bidx = act_start[:, None] + s_io[None, :]  # [A, cap], monotonic
     slot_rows = jnp.take(
         srows, jnp.clip(bidx, 0, n - 1).ravel(), axis=0

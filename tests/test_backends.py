@@ -56,9 +56,20 @@ def test_backend_matches_dense_full_frame(backend):
 def test_fused_backend_through_step_frame(backend):
     """The public step.frame dispatch path (the one the app and driver use)
     must route to the backend-fused frames and match dense (VERDICT r2 #8).
-    Reduced iterations keep interpret-mode kernels affordable on CPU."""
-    cfg = default_2d().replace(iterations=3)
-    p, dom = _rand_state(cfg, 512, seed=7)
+    Reduced iterations + a compact domain keep interpret-mode kernels
+    affordable on CPU."""
+    from fluid_tpu.domain import make_domain
+
+    cfg = default_2d().replace(
+        iterations=3, boundary_clip=((0.0, 0.0), (32.0, 32.0)), grid_res=16
+    )
+    p, _ = scene.dam_break(
+        jax.random.key(7), cfg, n=512, box=((8.0, 8.0), (24.0, 24.0))
+    )
+    k1, k2 = jax.random.split(jax.random.key(8))
+    p.vel = jax.random.normal(k1, p.vel.shape) * 0.4
+    p.C = jax.random.normal(k2, p.C.shape) * 0.05
+    dom = make_domain(cfg, halo_cells=4)
     p2 = jax.tree.map(jnp.copy, p)
     a = step.frame(p, cfg, dom, *step.no_mouse(), "dense")
     b = step.frame(p2, cfg, dom, *step.no_mouse(), backend)

@@ -16,9 +16,20 @@ from fluid_tpu.session import Session, default_backend
 
 
 def _case(iterations=2, n=512):
-    cfg = default_2d().replace(iterations=iterations)
-    p, dom = scene.dam_break(jax.random.key(0), cfg, n=n)
-    return cfg, p, dom
+    # compact domain (32^2, 16-cell chunks) keeps interpret-mode kernel
+    # grids small — the default 160^2 reference domain costs ~6x the wall
+    # time for identical coverage
+    cfg = default_2d().replace(
+        iterations=iterations,
+        boundary_clip=((0.0, 0.0), (32.0, 32.0)),
+        grid_res=16,
+    )
+    from fluid_tpu.domain import make_domain
+
+    p, _ = scene.dam_break(
+        jax.random.key(0), cfg, n=n, box=((8.0, 8.0), (24.0, 24.0))
+    )
+    return cfg, p, make_domain(cfg, halo_cells=4)
 
 
 def test_default_backend_is_platform_appropriate():

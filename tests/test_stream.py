@@ -17,16 +17,18 @@ from fluid_tpu.ops import stream_transfer as stx
 from fluid_tpu.state import ParticleState
 
 
-def _small_case(dim, n, seed, vel_scale=0.4):
+def _small_case(dim, n, seed, vel_scale=0.4, world=24.0):
     base = default_2d() if dim == 2 else default_3d()
     cfg = base.replace(
-        boundary_clip=(tuple(0.0 for _ in range(dim)), tuple(32.0 for _ in range(dim))),
+        boundary_clip=(
+            tuple(0.0 for _ in range(dim)), tuple(world for _ in range(dim))
+        ),
         grid_res=16,
     )
     dom = make_domain(cfg, halo_cells=4)
     key = jax.random.key(seed)
     k1, k2, k3 = jax.random.split(key, 3)
-    pos = jax.random.uniform(k1, (n, dim), jnp.float32, 8.0, 24.0)
+    pos = jax.random.uniform(k1, (n, dim), jnp.float32, 6.0, world - 8.0)
     p = ParticleState.create(pos)
     p.vel = jax.random.normal(k2, p.vel.shape) * vel_scale
     p.C = jax.random.normal(k3, p.C.shape) * 0.05
