@@ -101,23 +101,32 @@ def main():
     print(f"halo_pull(mass): {t_hm*1e3:8.2f} ms")
     hs_m = jax.block_until_ready(hm_j(blk1, st.nbr))
 
-    mg_j = jax.jit(lambda h: jnp.pad(h, ((0, 0), (0, EP - E3))).reshape(NG, G, EP))
+    r3 = stx._use_r3(spec, D)
+    if r3:
+        S1 = E3 // 128
+        mg_j = jax.jit(lambda h: h.reshape(NG, G * S1, 128))
+    else:
+        mg_j = jax.jit(
+            lambda h: jnp.pad(h, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
+        )
     mgblk = jax.block_until_ready(mg_j(hs_m))
 
     params6 = jnp.asarray(
         [cfg.dt, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power,
          cfg.pressure_floor, cfg.dynamic_viscosity], jnp.float32)
-    dep2_j = jax.jit(lambda c, t, s, m: dep2_k(c, t, s, mgblk=m, params=params6))
-    t_dep2 = timeit(dep2_j, st.count, st.tid, st.stream, mgblk, reps=r)
-    print(f"dep2 kernel:     {t_dep2*1e3:8.2f} ms")
-    dep2 = jax.block_until_ready(dep2_j(st.count, st.tid, st.stream, mgblk))
+    dep2_j = jax.jit(
+        lambda c, t, s, m, d1: dep2_k(c, t, s, mgblk=m, params=params6, d1blk=d1)
+    )
+    t_dep2 = timeit(dep2_j, st.count, st.tid, st.stream, mgblk, dep1, reps=r)
+    print(f"dep2 kernel(m+f):{t_dep2*1e3:8.2f} ms")
+    dep2 = jax.block_until_ready(dep2_j(st.count, st.tid, st.stream, mgblk, dep1))
 
-    hmf_j = jax.jit(lambda b1, b2, nb: stx.halo_stream(
-        (b1[:, 1:, :] + b2.reshape(A, GROWS, EP)[:, :D, :E3]).reshape(A, D * E3),
+    hmf_j = jax.jit(lambda b2, nb: stx.halo_stream(
+        b2.reshape(A, D, EP)[:, :, :E3].reshape(A, D * E3),
         nb, tshape, spec, D, D))
-    t_hmf = timeit(hmf_j, blk1, dep2, st.nbr, reps=r)
+    t_hmf = timeit(hmf_j, dep2, st.nbr, reps=r)
     print(f"halo_pull(m+f):  {t_hmf*1e3:8.2f} ms")
-    hs_mf = jax.block_until_ready(hmf_j(blk1, dep2, st.nbr))
+    hs_mf = jax.block_until_ready(hmf_j(dep2, st.nbr))
 
     def gblk_fn(hs_mf, hs_m):
         g = jnp.asarray(cfg.gravity, jnp.float32)

@@ -353,12 +353,17 @@ def _pbatch(NG: int) -> int:
 
 
 def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
-    """Deposit blocks in ROW-GROUPED layout: out [NG, G*CHP, EP], tile j of a
-    group owning sublane rows [j*CHP, (j+1)*CHP) — a [NG*G, CHP, EP] reshape
-    needs NO transpose on the XLA side.  Channels: mass+momentum (1+D) for
-    mode='p2g1', force (D) for mode='p2g2' (which also takes
-    mgblk [NG, G, EP] — halo'd mass, one row per tile — and params [6]);
-    unused rows of the CHP pad are zero."""
+    """Deposit blocks in ROW-GROUPED layout: out [NG, G*RT, OW], tile j of a
+    group owning sublane rows [j*RT, (j+1)*RT) — a [NG*G, RT, OW] reshape
+    needs NO transpose on the XLA side.
+
+    mode='p2g1': channels mass+momentum (1+D), RT = GROWS(*S1) rows/tile.
+    mode='p2g2': takes mgblk (halo'd mass windows), params [6] and the p2g1
+    blocks d1blk, and emits the COMBINED momentum+force windows
+    (d1 momentum + eq-16 force), D(*S1) rows/tile — fusing the m+f add into
+    the kernel saves a full XLA read+read+write pass over the block arrays
+    (~0.6 GB/substep at 3d-1m; this device's effective HBM bandwidth is the
+    substep's binding constraint — see BASELINE.md round 3)."""
     T, cap, h, G = spec.tile, spec.cap, spec.halo, spec.group
     E, EP, NG, A = spec.E, spec.EP(D), spec.NG, spec.A
     F = _row_layout(D)
@@ -368,15 +373,12 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
     # and all XLA glue operate on [A, ch*S1, 128] with NO relayout copies
     r3 = _use_r3(spec, D)
     S1 = spec.E**D // 128 if r3 else 0
-    RT = GROWS * S1 if r3 else GROWS  # output rows per tile
+    RT1 = GROWS * S1 if r3 else GROWS  # p2g1 rows per tile (d1blk layout)
+    RT = (CH * S1 if r3 else CH) if mode == "p2g2" else RT1
     OW = 128 if r3 else EP  # output lane width
     PB = _pbatch(NG)  # groups per program (amortizes ~550ns dispatch)
 
     def kernel(*refs):
-        if mode == "p2g1":
-            count_ref, tid_ref, stream_ref, out_ref = refs
-        else:
-            count_ref, tid_ref, params_ref, stream_ref, mg_ref, out_ref = refs
         GL = G * cap
         E3 = E**D
         for pb in range(PB):
@@ -386,7 +388,7 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
         if mode == "p2g1":
             count_ref, tid_ref, stream_ref, out_ref = refs
         else:
-            count_ref, tid_ref, params_ref, stream_ref, mg_ref, out_ref = refs
+            count_ref, tid_ref, params_ref, stream_ref, mg_ref, d1_ref, out_ref = refs
 
         # group-vectorized lane metadata: the VPU-heavy window/profile/value
         # builds run ONCE on [*, G*cap] arrays (per-tile [*, cap] ops in a
@@ -463,11 +465,18 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                     )  # [(1+D)*CH, EP]
                     blk = _fixup_deposit(YT, E, D, CH, EP)  # [CH, EP]
                     if r3:
-                        out_ref[pb, j * RT : (j + 1) * RT, :] = _pad_rows(
-                            blk.reshape(CH * S1, 128), RT
-                        )
-                    else:
-                        out_ref[pb, j * RT : (j + 1) * RT, :] = _pad_rows(blk, RT)
+                        blk = blk.reshape(CH * S1, 128)
+                    if mode == "p2g2":
+                        # fused m+f: add the p2g1 momentum rows in-kernel
+                        if r3:
+                            blk = blk + d1_ref[
+                                pb, j * RT1 + S1 : j * RT1 + (1 + D) * S1, :
+                            ]
+                        else:
+                            blk = blk + d1_ref[
+                                pb, j * GROWS + 1 : j * GROWS + 1 + D, :
+                            ]
+                    out_ref[pb, j * RT : (j + 1) * RT, :] = _pad_rows(blk, RT)
 
     n_prefetch = 2 if mode == "p2g1" else 3
     in_specs = [
@@ -478,6 +487,11 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
         in_specs.append(
             pl.BlockSpec(mg_block, lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
         )
+        in_specs.append(
+            pl.BlockSpec(
+                (PB, G * RT1, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(NG // PB,),
@@ -487,13 +501,13 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
         ),
     )
 
-    def call(count, tid, stream, mgblk=None, params=None):
+    def call(count, tid, stream, mgblk=None, params=None, d1blk=None):
         args = (count, tid)
         if mode == "p2g2":
             args = args + (params,)
         args = args + (stream,)
         if mode == "p2g2":
-            args = args + (mgblk,)
+            args = args + (mgblk, d1blk)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -1166,17 +1180,20 @@ def _unflatten(idx: jnp.ndarray, shape) -> jnp.ndarray:
 
 
 def _blocks_to_dense(blocks, tid, nt: int, spec: StreamSpec, D: int, CH: int):
-    """[NG, G*CHP, EP] kernel output -> dense [nt, CH*E^D] (flat).
+    """[NG, G*RT, OW] kernel output -> dense [nt, CH*E^D] (flat).
 
     The row-grouped layout reshapes straight to per-tile blocks — no
-    transpose (XLA transposes measured ~10ms at 1M scale)."""
+    transpose (XLA transposes measured ~10ms at 1M scale).  Rows per tile
+    are derived from the block shape (p2g1 emits GROWS(*S1), the fused
+    p2g2 emits D(*S1))."""
     E, EP, G, A = spec.E, spec.EP(D), spec.group, spec.A
     E3 = E**D
+    RT = blocks.shape[1] // G
     if _use_r3(spec, D):
         S1 = E3 // 128
-        x = blocks.reshape(A, GROWS * S1, 128)[:, : CH * S1, :].reshape(A, CH * E3)
+        x = blocks.reshape(A, RT, 128)[:, : CH * S1, :].reshape(A, CH * E3)
     else:
-        x = blocks.reshape(A, GROWS, EP)[:, :CH, :E3].reshape(A, CH * E3)
+        x = blocks.reshape(A, RT, EP)[:, :CH, :E3].reshape(A, CH * E3)
     dense = jnp.zeros((nt + 1, CH * E3), jnp.float32)
     dense = dense.at[jnp.clip(tid, 0, nt)].add(x, mode="drop")
     return dense[:nt]  # [nt, CH*E3]
@@ -1554,10 +1571,13 @@ def _substep_core(
             d1[:, :S1].reshape(A, E3), st.nbr, tshape, T, E
         ).reshape(A, S1, 128)
         mgblk = hs_m3.reshape(NG, G * S1, 128)
-        dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
-        d2 = dep2.reshape(A, GROWS * S1, 128)
-        # combined momentum+force halo: halo(mom)+halo(frc) == halo(mom+frc)
-        mf3 = d1[:, S1 : (1 + D) * S1] + d2[:, : D * S1]  # [A, D*S1, 128]
+        # dep2 emits the COMBINED momentum+force windows (the m+f add is
+        # fused in-kernel; halo(mom)+halo(frc) == halo(mom+frc))
+        dep2 = dep2_k(
+            st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
+            d1blk=dep1,
+        )
+        mf3 = dep2.reshape(A, D * S1, 128)
         if not spec.interpret:
             # last axis pass fused with the grid update: emits gblk directly
             for d in range(D - 1):
@@ -1582,14 +1602,17 @@ def _substep_core(
             ).reshape(NG, G * GROWS * S1, 128)
     else:
         blk1 = dep1.reshape(A, GROWS, EP)[:, : 1 + D, :E3]  # [A, 1+D, E3]
-        # halo only the MASS channel (p2g_2 needs it); the momentum halo is
-        # deferred and fused with the force halo below (halo is linear)
+        # halo only the MASS channel (p2g_2 needs it); the momentum halo
+        # rides the force halo below (dep2 emits COMBINED m+f; halo linear)
         hs_m = halo_stream(blk1[:, 0, :], st.nbr, tshape, spec, D, 1)
         mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
-        dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
-        blk2 = dep2.reshape(A, GROWS, EP)[:, :D, :E3]  # [A, D, E3]
+        dep2 = dep2_k(
+            st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
+            d1blk=dep1,
+        )
+        blk2 = dep2.reshape(A, D, EP)[:, :, :E3]  # [A, D, E3] (m+f)
         hs_mf = halo_stream(
-            (blk1[:, 1:, :] + blk2).reshape(A, D * E3), st.nbr, tshape, spec, D, D
+            blk2.reshape(A, D * E3), st.nbr, tshape, spec, D, D
         )
         mf = hs_mf.reshape(A, D, E3)
         ma_ = hs_m.reshape(A, 1, E3)
@@ -1751,10 +1774,13 @@ def substep(
             NGg, Gg * S1, 128
         )
     dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
-    dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
+    dep2 = dep2_k(
+        st.count, st.tid, st.stream, mgblk=mgblk, params=params6, d1blk=dep1
+    )
+    # dep2 blocks are the COMBINED momentum+force windows (m+f fused)
     dense2 = _blocks_to_dense(dep2, st.tid, nt, spec, D, D)
     blocks2 = dense2.reshape(nt, D, *(E,) * D)
-    grid_mv = grid_all[..., 1:] + assemble(blocks2.transpose(perm), tshape, spec.tile)
+    grid_mv = assemble(blocks2.transpose(perm), tshape, spec.tile)
     g = jnp.asarray(cfg.gravity, jnp.float32)
     mm = grid_m[..., None]
     grid_v = jnp.where(mm > 0.0, grid_mv / jnp.where(mm > 0.0, mm, 1.0) + cfg.dt * g, 0.0)

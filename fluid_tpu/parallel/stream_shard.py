@@ -295,10 +295,15 @@ def _sharded_substep_core(
             d1[:, :S1].reshape(A, E3), st.nbr, tshape, T, E
         ).reshape(A, S1, 128)
         mgblk = hs_m3.reshape(NG, G * S1, 128)
-        dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
+        # dep2 emits COMBINED m+f (d1 momentum added in-kernel); ghost tiles
+        # lose their d1 momentum to the count==0 fast path, but the combined
+        # exchange below refills them with the neighbor's combined windows
+        dep2 = dep2_k(
+            st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
+            d1blk=dep1,
+        )
         dep2 = _exchange_blocks(dep2, ss.col, sspec)
-        d2 = dep2.reshape(A, stx.GROWS * S1, 128)
-        mf3 = d1[:, S1 : (1 + D) * S1] + d2[:, : D * S1]
+        mf3 = dep2.reshape(A, D * S1, 128)
         if not spec.interpret:
             for d in range(D - 1):
                 mf3 = stx._make_halo_axis(spec, D, d, D)(
@@ -324,11 +329,14 @@ def _sharded_substep_core(
         blk1 = dep1.reshape(A, stx.GROWS, EP)[:, : 1 + D, :E3]
         hs_m = stx.halo_stream(blk1[:, 0, :], st.nbr, tshape, spec, D, 1)
         mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
-        dep2 = dep2_k(st.count, st.tid, st.stream, mgblk=mgblk, params=params6)
+        dep2 = dep2_k(
+            st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
+            d1blk=dep1,
+        )
         dep2 = _exchange_blocks(dep2, ss.col, sspec)
-        blk2 = dep2.reshape(A, stx.GROWS, EP)[:, :D, :E3]
+        blk2 = dep2.reshape(A, D, EP)[:, :, :E3]  # combined m+f
         hs_mf = stx.halo_stream(
-            (blk1[:, 1:, :] + blk2).reshape(A, D * E3), st.nbr, tshape, spec, D, D
+            blk2.reshape(A, D * E3), st.nbr, tshape, spec, D, D
         )
         mf = hs_mf.reshape(A, D, E3)
         ma_ = hs_m.reshape(A, 1, E3)

@@ -105,9 +105,7 @@ def frame_body(
     return jax.lax.fori_loop(0, n, body, p)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "domain", "backend"), donate_argnames=("p",)
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "domain", "backend"))
 def frame(
     p: ParticleState,
     cfg: Config,
@@ -118,8 +116,10 @@ def frame(
 ) -> ParticleState:
     """One frame = ``cfg.iterations`` substeps in a single XLA program.
 
-    Parity with ``Simulation::step`` (``2d_multi.rs:110-134``); particle
-    buffers are donated so the frame runs in place on device.
+    Parity with ``Simulation::step`` (``2d_multi.rs:110-134``).  Inputs are
+    NOT donated: users legitimately re-run a frame from the same state
+    (backend comparisons, branching rollouts).  The in-place perf path is
+    ``session.Session`` (which donates its persistent state).
     """
     return frame_body(p, cfg, domain, mouse_pos, mouse_active, backend)
 
