@@ -300,7 +300,10 @@ CONFIGS = {
     # tiled is demoted at 1M: a capacity spec large enough for the settled
     # scene (occupied tiles grow ~1.45x + splash) no longer fits HBM, and
     # smaller specs fail the strict overflow check — stream is the hot path
-    "3d-1m": (3, 1_000_000, 3, None, "3d_1m", ("stream", "pallas")),
+    # pallas demoted from the race at 1M too (7x slower than stream in
+    # BENCH_r02 and ~2 min of bench wall time); it stays reachable via
+    # --backend pallas and is CI-covered as a correctness oracle
+    "3d-1m": (3, 1_000_000, 3, None, "3d_1m", ("stream",)),
     # tiled is demoted for the batch config: x64-vmapped specs large enough
     # for the settling dams (factor>=6.5) blow HBM at compile, smaller ones
     # fail the strict overflow check — stream packs scenes into one domain

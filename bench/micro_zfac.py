@@ -1,19 +1,26 @@
 #!/usr/bin/env python
 """Micro-benchmark: z-FACTORED kernel dots vs the current wide-window dots.
 
-The substep's binding cost is ~3-4 MXU dots per occupied tile, each one
+The substep's binding cost is ~3 MXU dots per occupied tile, each one
 ~0.55-0.8 us because ONE operand is E^3 = 512 wide (weight-load-bound:
-~K or N cycles regardless of the tiny 12-16-row M).  The window is a
-tensor product W0 = wz (x) wxy, so every contraction against W0 factors:
+~N cycles for the [*,cap]@[512,cap]^T form regardless of the tiny
+12-16-row M).  The window is a tensor product W0 = wx (x) (wy (x) wz)
+(axis 0 SLOWEST in the real kernels' flat order), so every contraction
+against W0 factors through the [64, cap] pair window w12 = wy (x) wz:
 
-    Y[r, (k, xy)] = sum_p U[r,p] * wz[k,p] * Wxy[xy,p]
-                  = (U zstacked-with-wz)[r*8+k, p] @ Wxy[xy, p]^T
+    Y[r, e0*64+yz] = sum_p U[r,p] * wx[e0,p] * W12[yz,p]
 
-turning a [12,128]@[512,128]^T dot (>= 512 weight-load cycles) into a
-[96,128]@[64,128]^T dot (~224 cycles) + a cheap [96,64]->[12,512]
-sublane->lane merge.  This validates compilability, bit-accuracy, and
-timing of all four dot types (deposit, rho, g2p, fused-dep1) on TPU
-before rewiring stream_transfer.  Run: python bench/micro_zfac.py
+Mosaic cannot reshape 64-lane arrays (micro_zfac_probe p3/p4 FAIL), so the
+factored kernels keep every array 128-lane:
+  * W12 zero-padded to 128 rows (probe p6);
+  * the e0 axis stacked into the dot's M rows with order (kbit, q)
+    [e0 = 2q + kbit] so the merge back to window rows (r, q) with lanes
+    (kbit*64 + yz) is one 4D sublane-group index (p8) + roll-select (p9);
+  * the g2p k-combine via 3D slice mul-acc (p10).
+
+This validates compilability, bit-accuracy, and timing of the three dot
+types (deposit, rho, g2p) on TPU before rewiring stream_transfer.
+Run: python bench/micro_zfac.py
 """
 import sys
 import time
@@ -33,6 +40,7 @@ GL = G * cap
 E3 = E**D  # 512
 E2 = E * E  # 64
 S1 = E3 // 128  # 4
+Q = E // 2  # 4 e0-pairs
 NG = 4096
 PB = 4
 R = 12  # p2g2 channel rows (1+D)*D
@@ -89,13 +97,45 @@ def _mk(kernel_body, n_out_rows, out_w):
     return jax.jit(call)
 
 
-def _w01(wx, wy):
-    return (wx[:, None, :] * wy[None, :, :]).reshape(E2, GL)
+def _w12(wy, wz):
+    """Pair window [E2, GL], flat (e1*E + e2) — e2 fastest."""
+    return (wy[:, None, :] * wz[None, :, :]).reshape(E2, GL)
 
 
 def _w0(wx, wy, wz):
-    w01 = _w01(wx, wy)
-    return (w01[:, None, :] * wz[None, :, :]).reshape(E3, GL)
+    """Full window [E3, GL], flat (e0*E2 + e1*E + e2) — e0 SLOWEST
+    (matches stream_transfer._kernel_window)."""
+    w12 = _w12(wy, wz)
+    return (wx[:, None, :] * w12[None, :, :]).reshape(E3, GL)
+
+
+def _w12p(wy, wz):
+    """[128, GL]: W12 zero-padded to 128 rows (probe p6)."""
+    w12 = _w12(wy, wz)
+    rid = lax.broadcasted_iota(jnp.int32, (128, GL), 0)
+    z = jnp.zeros((128, GL), jnp.float32)
+    # pad via iota-select (no in-kernel concat/pad of sublanes)
+    return jnp.where(rid < E2, jnp.pad(w12, ((0, 128 - E2), (0, 0))), z)
+
+
+def _wx_s(wx):
+    """wx rows permuted to (kbit, q) order: wx_s[kbit*Q+q] = wx[2q+kbit]."""
+    rid = lax.broadcasted_iota(jnp.int32, (E, GL), 0)
+    out = jnp.zeros((E, GL), jnp.float32)
+    for row in range(E):
+        e0 = 2 * (row % Q) + row // Q
+        out = jnp.where(rid == row, wx[e0][None, :], out)
+    return out
+
+
+def _merge_eo(Y, rows):
+    """[rows*E, 128] dot output, rows (r, kbit, q), 64 valid lanes ->
+    [rows*S1, 128] window rows (r, q) with lanes (kbit*64 + yz)."""
+    Y4 = Y.reshape(rows, 2, Q, 128)
+    Ya = Y4[:, 0].reshape(rows * Q, 128)
+    Yb = Y4[:, 1].reshape(rows * Q, 128)
+    l_io = lax.broadcasted_iota(jnp.int32, (rows * Q, 128), 1)
+    return jnp.where(l_io < E2, Ya, pltpu.roll(Yb, E2, 1))
 
 
 # --- deposit: current (one wide dot/tile) vs z-factored ---------------------
@@ -116,19 +156,19 @@ def dep_cur_kernel(wx_ref, wy_ref, wz_ref, U_ref, m_ref, B_ref, out_ref):
 
 def dep_z_kernel(wx_ref, wy_ref, wz_ref, U_ref, m_ref, B_ref, out_ref):
     for pb in range(PB):
-        w01 = _w01(wx_ref[pb], wy_ref[pb])  # [E2, GL]
-        wz = wz_ref[pb]  # [E, GL]
+        w12p = _w12p(wy_ref[pb], wz_ref[pb])  # [128, GL]
+        wxs = _wx_s(wx_ref[pb])  # [E, GL] rows (kbit, q)
         U = U_ref[pb]  # [R, GL]
-        Uz = (U[:, None, :] * wz[None, :, :]).reshape(R * E, GL)  # [96, GL]
+        Uz = (U[:, None, :] * wxs[None, :, :]).reshape(R * E, GL)
         for j in range(G):
             Yz = lax.dot_general(
                 Uz[:, j * cap : (j + 1) * cap],
-                w01[:, j * cap : (j + 1) * cap],
+                w12p[:, j * cap : (j + 1) * cap],
                 (((1,), (1,)), ((), ())),
                 precision=HI, preferred_element_type=jnp.float32,
-            )  # [96, 64] rows (r, k)
-            YT = Yz.reshape(R, E * E2).reshape(R * S1, 128)
-            out_ref[pb, j * R * S1 : (j + 1) * R * S1, :] = YT
+            )  # [R*E, 128] rows (r, kbit, q), lanes yz (64 valid)
+            Z = _merge_eo(Yz, R)  # [R*S1, 128]
+            out_ref[pb, j * R * S1 : (j + 1) * R * S1, :] = Z
 
 
 # --- rho: current (one wide group dot) vs z-factored ------------------------
@@ -154,21 +194,29 @@ def rho_cur_kernel(wx_ref, wy_ref, wz_ref, U_ref, m_ref, B_ref, out_ref):
 
 def rho_z_kernel(wx_ref, wy_ref, wz_ref, U_ref, m_ref, B_ref, out_ref):
     for pb in range(PB):
-        w01 = _w01(wx_ref[pb], wy_ref[pb])  # [E2, GL]
-        wz = wz_ref[pb]
-        # mass windows [G*S1, 128] -> [G*E, E2] (lane->sublane split)
-        mz = m_ref[pb].reshape(G * E, E2)
-        X = lax.dot_general(
-            mz, w01, (((1,), (0,)), ((), ())),
+        w12p = _w12p(wy_ref[pb], wz_ref[pb])  # [128, GL]
+        wx = wx_ref[pb]
+        mg = m_ref[pb]  # [G*S1, 128] rows (j, q), lanes (kbit*64 + yz)
+        l_io = lax.broadcasted_iota(jnp.int32, (G * S1, 128), 1)
+        Me = jnp.where(l_io < E2, mg, 0.0)
+        Mo = jnp.where(l_io < E2, pltpu.roll(mg, E2, 1), 0.0)
+        Xe = lax.dot_general(
+            Me, w12p, (((1,), (0,)), ((), ())),
             precision=HI, preferred_element_type=jnp.float32,
-        )  # [G*E, GL] rows (j, k)
+        )  # [G*S1, GL] rows (j, q): sum_yz m[2q, yz] * w12[yz, p]
+        Xo = lax.dot_general(
+            Mo, w12p, (((1,), (0,)), ((), ())),
+            precision=HI, preferred_element_type=jnp.float32,
+        )
         grp = lax.broadcasted_iota(jnp.int32, (1, GL), 1)[0] // cap
         rho = jnp.zeros((GL,), jnp.float32)
-        for k in range(E):
-            xk = jnp.zeros((GL,), jnp.float32)
+        for q in range(Q):
+            xe = jnp.zeros((GL,), jnp.float32)
+            xo = jnp.zeros((GL,), jnp.float32)
             for j in range(G):
-                xk = jnp.where(grp == j, X[j * E + k], xk)
-            rho = rho + xk * wz[k]
+                xe = jnp.where(grp == j, Xe[j * S1 + q], xe)
+                xo = jnp.where(grp == j, Xo[j * S1 + q], xo)
+            rho = rho + xe * wx[2 * q] + xo * wx[2 * q + 1]
         out_ref[pb] = jnp.broadcast_to(rho[None, :], (8, GL))
 
 
@@ -189,19 +237,31 @@ def g2p_cur_kernel(wx_ref, wy_ref, wz_ref, U_ref, m_ref, B_ref, out_ref):
 
 def g2p_z_kernel(wx_ref, wy_ref, wz_ref, U_ref, m_ref, B_ref, out_ref):
     for pb in range(PB):
-        w01 = _w01(wx_ref[pb], wy_ref[pb])
-        wz = wz_ref[pb]
-        Bz = B_ref[pb].reshape(16 * E, E2)  # [(c,k), xy] lane->sublane split
+        w12p = _w12p(wy_ref[pb], wz_ref[pb])  # [128, GL]
+        wx = wx_ref[pb]
+        Bz = B_ref[pb].reshape(16 * S1, 128)  # rows (c, q), lanes (kbit,yz)
+        l_io = lax.broadcasted_iota(jnp.int32, (16 * S1, 128), 1)
+        Be = jnp.where(l_io < E2, Bz, 0.0)
+        Bo = jnp.where(l_io < E2, pltpu.roll(Bz, E2, 1), 0.0)
         for j in range(G):
-            Xz = lax.dot_general(
-                Bz, w01[:, j * cap : (j + 1) * cap],
-                (((1,), (0,)), ((), ())),
+            sl = slice(j * cap, (j + 1) * cap)
+            Xe = lax.dot_general(
+                Be, w12p[:, sl], (((1,), (0,)), ((), ())),
                 precision=HI, preferred_element_type=jnp.float32,
-            )  # [16*E, cap] rows (c, k)
-            acc = jnp.zeros((16, cap), jnp.float32)
-            Xr = Xz.reshape(16, E * cap)
-            for k in range(E):
-                acc = acc + Xr[:, k * cap : (k + 1) * cap] * wz[k, j * cap : (j + 1) * cap][None, :]
+            )  # [16*S1, cap] rows (c, q)
+            Xo = lax.dot_general(
+                Bo, w12p[:, sl], (((1,), (0,)), ((), ())),
+                precision=HI, preferred_element_type=jnp.float32,
+            )
+            X3e = Xe.reshape(16, S1, cap)
+            X3o = Xo.reshape(16, S1, cap)
+            acc = X3e[:, 0] * wx[0, sl][None, :] + X3o[:, 0] * wx[1, sl][None, :]
+            for q in range(1, Q):
+                acc = (
+                    acc
+                    + X3e[:, q] * wx[2 * q, sl][None, :]
+                    + X3o[:, q] * wx[2 * q + 1, sl][None, :]
+                )
             out_ref[pb, :, j * cap : (j + 1) * cap] = acc
 
 

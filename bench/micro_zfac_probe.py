@@ -193,3 +193,30 @@ def p11(a_ref, o_ref):
 
 
 run("p11 row-dep e0 coeff", p11, ((16, 128),), (16, 128))
+
+
+# p12: periodic row replication via broadcast_to + sublane-merge reshape:
+# [4,128] -> [16,4,128] -> [64,128]
+def p12(a_ref, o_ref):
+    g = a_ref[0]  # [4, 128]
+    rep = jnp.broadcast_to(g[None], (16, 4, 128)).reshape(64, 128)
+    o_ref[0] = rep
+
+
+run("p12 periodic row rep", p12, ((4, 128),), (64, 128))
+
+
+# p13: same replication via a selection-matrix dot [64,16]@[16,128]
+def p13(a_ref, o_ref):
+    g = a_ref[0]  # [16, 128] (4 channels x 4 q-rows)
+    rid = lax.broadcasted_iota(jnp.int32, (64, 16), 0)
+    cid = lax.broadcasted_iota(jnp.int32, (64, 16), 1)
+    sel = jnp.where(cid == rid % 16, 1.0, 0.0)
+    rep = lax.dot_general(
+        sel, g, (((1,), (0,)), ((), ())),
+        precision=HI, preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = rep
+
+
+run("p13 sel-dot row rep", p13, ((16, 128),), (64, 128))

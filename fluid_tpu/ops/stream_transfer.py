@@ -220,6 +220,88 @@ def _kernel_window(plains, E: int, cap: int, D: int):
     return (w01[:, None, :] * plains[2][None, :, :]).reshape(E**3, cap)
 
 
+# In-situ A/B toggles for the z-factored contraction sites (read at kernel
+# trace time; bench/prof_stream flips them to attribute wins per site).
+ZFAC_DEPOSIT = True
+ZFAC_RHO = True
+ZFAC_G2P = True
+
+
+def _use_zfac(spec: "StreamSpec", D: int) -> bool:
+    """z-factored contractions: every in-kernel dot against the E^3-wide
+    window W0 = wx (x) (wy (x) wz) factors through the E^2 = 64-row pair
+    window, cutting the MXU weight-load from 4 tiles to 1 per dot (the
+    substep's binding cost is ~3 latency-bound window dots per occupied
+    tile — BASELINE.md round 2).  Requires the r3 layout with E == 8:
+    the merge identities below assume E^2 == 64 == half a lane vector
+    (S1 == E/2), and Mosaic cannot reshape 64-lane arrays (probes p3/p4),
+    so all intermediates stay 128-lane via zero-padding + roll-select."""
+    return _use_r3(spec, D) and spec.E == 8
+
+
+def _kernel_w12p(plains, GL: int):
+    """[128, GL] pair window wy (x) wz (flat e1*E + e2), zero-padded from
+    E^2 = 64 to 128 rows (padded rows contribute 0 to every contraction)."""
+    E = plains[1].shape[0]
+    E2 = E * E
+    w12 = (plains[1][:, None, :] * plains[2][None, :, :]).reshape(E2, GL)
+    return jnp.pad(w12, ((0, 128 - E2), (0, 0)))
+
+
+def _kernel_wxs(plains, GL: int):
+    """wx rows permuted to (kbit, q) order: wxs[kb*Q + q] = wx[2q + kb].
+
+    Stacking the slow window axis into the dot's M rows in THIS order makes
+    the merge back to window rows (r, q) a 4D sublane-group index plus one
+    roll-select (probes p8/p9) — never a 64-lane reshape."""
+    E = plains[0].shape[0]
+    Q = E // 2
+    rid = lax.broadcasted_iota(jnp.int32, (E, GL), 0)
+    out = jnp.zeros((E, GL), jnp.float32)
+    for row in range(E):
+        out = jnp.where(
+            rid == row, plains[0][2 * (row % Q) + row // Q][None, :], out
+        )
+    return out
+
+
+def _zfac_merge(Yz, R: int, E: int):
+    """Dot output [R*E, 128] rows (r, kbit, q), valid lanes yz < 64 ->
+    window rows [R*S1, 128] (r, q) with lanes (kbit*64 + yz): row (r, q)
+    covers flat e-indices q*128..(q+1)*128 = e0 in {2q, 2q+1} x yz."""
+    Q = E // 2
+    Y4 = Yz.reshape(R, 2, Q, 128)
+    Ya = Y4[:, 0].reshape(R * Q, 128)
+    Yb = Y4[:, 1].reshape(R * Q, 128)
+    l_io = lax.broadcasted_iota(jnp.int32, (R * Q, 128), 1)
+    return jnp.where(l_io < 64, Ya, pltpu.roll(Yb, 64, 1))
+
+
+def _r3_e_coords(E: int, D: int, rows: int, S1: int):
+    """e_d coefficient arrays [rows, 128] in the r3 window-row layout:
+    row (.., q), lane l decode to e0 = 2q + (l >= 64), e1 = (l % 64) // E,
+    e2 = l % E  (flat = e0*E^2 + e1*E + e2 with E^2 == 64)."""
+    r_io = lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    l_io = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    q = r_io % S1
+    e0 = (2 * q + (l_io >= 64).astype(jnp.int32)).astype(jnp.float32)
+    e1 = ((l_io % 64) // E).astype(jnp.float32)
+    e2 = (l_io % E).astype(jnp.float32)
+    return (e0, e1, e2)
+
+
+def _fixup_deposit_r3(Z, E: int, D: int, CH: int):
+    """Z [(1+D)*CH*S1, 128] merged window rows (g, c, q) -> blk
+    [CH*S1, 128]: Y0 + sum_d e_d * Yd, all in the r3 row layout."""
+    S1 = E**D // 128
+    rows = CH * S1
+    es = _r3_e_coords(E, D, rows, S1)
+    blk = Z[0:rows]
+    for d in range(D):
+        blk = blk + es[d] * Z[(d + 1) * rows : (d + 2) * rows]
+    return blk
+
+
 def _rows_stack(vecs, cap: int):
     """Stack [cap] vectors into [n, cap] (iota-select, Mosaic-safe)."""
     n = len(vecs)
@@ -377,6 +459,9 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
     RT = (CH * S1 if r3 else CH) if mode == "p2g2" else RT1
     OW = 128 if r3 else EP  # output lane width
     PB = _pbatch(NG)  # groups per program (amortizes ~550ns dispatch)
+    zf = _use_zfac(spec, D)
+    zf_dep = zf and ZFAC_DEPOSIT
+    zf_rho = zf and ZFAC_RHO and mode == "p2g2"
 
     def kernel(*refs):
         GL = G * cap
@@ -419,32 +504,67 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                 [pm[d] for d in range(D)], tid_l, T, E, h, tshape, origin, GL
             )
             vf = valid.astype(jnp.float32)[None, :]
-            W0 = _kernel_window(plains, E, GL, D) * vf  # [E^D, G*cap]
+            if zf_dep or zf_rho:
+                w12p = _kernel_w12p(plains, GL) * vf  # [128, G*cap]
+            if not zf_dep or (mode == "p2g2" and not zf_rho):
+                W0 = _kernel_window(plains, E, GL, D) * vf  # [E^D, G*cap]
             if mode == "p2g1":
                 U = _deposit_values(pm, valid, dvec, bases, GL, D, h)
             else:
-                if r3:
-                    mrows = _rows_stack(
-                        [
-                            mg_ref[pb, j * S1 : (j + 1) * S1, :].reshape(E3)
-                            for j in range(G)
-                        ],
-                        E3,
-                    )  # [G, E^D]
+                if zf_rho:
+                    # z-factored density: contract the halo'd mass windows'
+                    # yz lanes against the pair window, then combine the E
+                    # e0-slices with wx — the [G*S1,128]x[128,GL] dots load
+                    # 1 MXU weight tile where the E^3-wide form loads 4/row
+                    mg = mg_ref[pb]  # [G*S1, 128] rows (j, q)
+                    l2 = lax.broadcasted_iota(jnp.int32, (G * S1, 128), 1)
+                    Me = jnp.where(l2 < 64, mg, 0.0)
+                    Mo = jnp.where(l2 < 64, pltpu.roll(mg, 64, 1), 0.0)
+                    Xe = lax.dot_general(
+                        Me, w12p, (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # [G*S1, G*cap] rows (j, q): e0 = 2q part
+                    Xo = lax.dot_general(
+                        Mo, w12p, (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # e0 = 2q + 1 part
+                    rho = jnp.zeros((GL,), jnp.float32)
+                    for q in range(S1):
+                        xe = jnp.zeros((GL,), jnp.float32)
+                        xo = jnp.zeros((GL,), jnp.float32)
+                        for j in range(G):
+                            xe = jnp.where(grp == j, Xe[j * S1 + q], xe)
+                            xo = jnp.where(grp == j, Xo[j * S1 + q], xo)
+                        rho = rho + xe * plains[0][2 * q] + xo * plains[0][2 * q + 1]
                 else:
-                    mrows = mg_ref[pb, :, :E3]  # [G, E^D]
-                rho_all = lax.dot_general(
-                    mrows, W0, (((1,), (0,)), ((), ())),
-                    precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )  # [G, G*cap] (cross-tile entries unused)
-                rho = jnp.zeros((GL,), jnp.float32)
-                for j in range(G):
-                    rho = jnp.where(grp == j, rho_all[j], rho)
+                    if r3:
+                        mrows = _rows_stack(
+                            [
+                                mg_ref[pb, j * S1 : (j + 1) * S1, :].reshape(E3)
+                                for j in range(G)
+                            ],
+                            E3,
+                        )  # [G, E^D]
+                    else:
+                        mrows = mg_ref[pb, :, :E3]  # [G, E^D]
+                    rho_all = lax.dot_general(
+                        mrows, W0, (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # [G, G*cap] (cross-tile entries unused)
+                    rho = jnp.zeros((GL,), jnp.float32)
+                    for j in range(G):
+                        rho = jnp.where(grp == j, rho_all[j], rho)
                 cfg_row = tuple(params_ref[i] for i in range(6))
                 U, _, _ = _p2g2_values(
                     pm, valid, dvec, bases, rho, cfg_row, GL, D
                 )
+            if zf_dep:
+                wxs = _kernel_wxs(plains, GL)
+                RR = U.shape[0]  # (1+D)*CH
+                Uz = (U[:, None, :] * wxs[None, :, :]).reshape(RR * E, GL)
             for j in range(G):
                 cnt = count_ref[gg * G + j]
 
@@ -456,16 +576,27 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
 
                 @pl.when(cnt > 0)
                 def _(j=j):
-                    W0p = _pad_rows(W0[:, j * cap : (j + 1) * cap], EP)
-                    YT = lax.dot_general(
-                        U[:, j * cap : (j + 1) * cap], W0p,
-                        (((1,), (1,)), ((), ())),
-                        precision=lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32,
-                    )  # [(1+D)*CH, EP]
-                    blk = _fixup_deposit(YT, E, D, CH, EP)  # [CH, EP]
-                    if r3:
-                        blk = blk.reshape(CH * S1, 128)
+                    if zf_dep:
+                        Yz = lax.dot_general(
+                            Uz[:, j * cap : (j + 1) * cap],
+                            w12p[:, j * cap : (j + 1) * cap],
+                            (((1,), (1,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )  # [RR*E, 128] rows (r, kbit, q)
+                        Z = _zfac_merge(Yz, RR, E)  # [RR*S1, 128]
+                        blk = _fixup_deposit_r3(Z, E, D, CH)  # [CH*S1, 128]
+                    else:
+                        W0p = _pad_rows(W0[:, j * cap : (j + 1) * cap], EP)
+                        YT = lax.dot_general(
+                            U[:, j * cap : (j + 1) * cap], W0p,
+                            (((1,), (1,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )  # [(1+D)*CH, EP]
+                        blk = _fixup_deposit(YT, E, D, CH, EP)  # [CH, EP]
+                        if r3:
+                            blk = blk.reshape(CH * S1, 128)
                     if mode == "p2g2":
                         # fused m+f: add the p2g1 momentum rows in-kernel
                         if r3:
@@ -542,6 +673,9 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
     RT = GROWS * S1 if r3 else GROWS
     OW = 128 if r3 else EP
     PB = _pbatch(NG)  # groups per program (amortizes ~550ns dispatch)
+    zf = _use_zfac(spec, D)
+    zf_g2p = zf and ZFAC_G2P
+    zf_dep = zf and ZFAC_DEPOSIT
 
     def kernel(*refs):
         for pb in range(PB):
@@ -588,40 +722,101 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
             plains, bases, dvec = _kernel_profiles_from(
                 [pm[d] for d in range(D)], tid_l, T, E, h, tshape, origin, GL
             )
-            W0 = _kernel_window(plains, E, GL, D)  # [E^D, G*cap]
+            if zf_g2p:
+                w12p = _kernel_w12p(plains, GL)  # [128, G*cap]
+                # r3 e-coord coefficients for the Bcat channel build and the
+                # lane iota for the even/odd e0 split (shared over tiles)
+                es3 = _r3_e_coords(E, D, NBP * S1, S1)
+                rid3 = (
+                    lax.broadcasted_iota(jnp.int32, (NBP * S1, 128), 0) // S1
+                )
+                l3 = lax.broadcasted_iota(jnp.int32, (NBP * S1, 128), 1)
+            else:
+                W0 = _kernel_window(plains, E, GL, D)  # [E^D, G*cap]
+                es = _lane_e_coords(E, D, 1)
+                rid = lax.broadcasted_iota(jnp.int32, (nb, E3), 0)
 
             # per-tile g2p matmuls into the lane-concatenated scratch
-            es = _lane_e_coords(E, D, 1)
-            rid = lax.broadcasted_iota(jnp.int32, (nb, E3), 0)
             for j in range(G):
                 cnt = count_ref[gg * G + j]
 
                 @pl.when(cnt > 0)
                 def _(j=j):
-                    # row-grouped gblk: tile j's rows, [v(D), m] then pad
-                    if r3:
-                        gb = gblk_ref[pb, j * RT : j * RT + (1 + D) * S1, :].reshape(
-                            1 + D, E3
+                    if zf_g2p:
+                        # z-factored g2p: Bcat built in the r3 row layout
+                        # [(c, q), (kbit*64 + yz)], contracted against the
+                        # pair window per e0-parity, then the E e0-slices
+                        # combined with wx (probe p10) — 2 one-weight-tile
+                        # dots/tile instead of one 4-tile-wide dot
+                        gb3 = gblk_ref[
+                            pb, j * RT : j * RT + (1 + D) * S1, :
+                        ].reshape(1 + D, S1, 128)
+                        Bc = jnp.zeros((NBP * S1, 128), jnp.float32)
+                        for i in range(D):
+                            rep = jnp.broadcast_to(
+                                gb3[i][None], (NBP, S1, 128)
+                            ).reshape(NBP * S1, 128)
+                            Bc = jnp.where(rid3 == i, rep, Bc)
+                            for d in range(D):
+                                Bc = jnp.where(
+                                    rid3 == (d + 1) * D + i, es3[d] * rep, Bc
+                                )
+                        repm = jnp.broadcast_to(
+                            gb3[D][None], (NBP, S1, 128)
+                        ).reshape(NBP * S1, 128)
+                        Bc = jnp.where(rid3 == (1 + D) * D, repm, Bc)
+                        Be = jnp.where(l3 < 64, Bc, 0.0)
+                        Bo = jnp.where(l3 < 64, pltpu.roll(Bc, 64, 1), 0.0)
+                        sl = slice(j * cap, (j + 1) * cap)
+                        Xe = lax.dot_general(
+                            Be, w12p[:, sl], (((1,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )  # [NBP*S1, cap] rows (c, q)
+                        Xo = lax.dot_general(
+                            Bo, w12p[:, sl], (((1,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
                         )
-                    else:
-                        gb = gblk_ref[pb, j * GROWS : j * GROWS + 1 + D, :E3]
-                    # BcatT rows: v(D), e_0*v(D), .., e_{D-1}*v(D), m
-                    Bcat = jnp.zeros((nb, E3), jnp.float32)
-                    for i in range(D):
-                        vi = gb[i][None, :]
-                        Bcat = jnp.where(rid == i, vi, Bcat)
-                        for d in range(D):
-                            Bcat = jnp.where(
-                                rid == (d + 1) * D + i, es[d] * vi, Bcat
+                        X3e = Xe.reshape(NBP, S1, cap)
+                        X3o = Xo.reshape(NBP, S1, cap)
+                        wx = plains[0]
+                        acc = (
+                            X3e[:, 0] * wx[0, sl][None, :]
+                            + X3o[:, 0] * wx[1, sl][None, :]
+                        )
+                        for q in range(1, S1):
+                            acc = (
+                                acc
+                                + X3e[:, q] * wx[2 * q, sl][None, :]
+                                + X3o[:, q] * wx[2 * q + 1, sl][None, :]
                             )
-                    Bcat = jnp.where(rid == (1 + D) * D, gb[D][None, :], Bcat)
-                    Xj = lax.dot_general(
-                        Bcat, W0[:, j * cap : (j + 1) * cap],
-                        (((1,), (0,)), ((), ())),
-                        precision=lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32,
-                    )  # [nb, cap]
-                    xsc[:, j * cap : (j + 1) * cap] = _pad_rows(Xj, NBP)
+                        xsc[:, sl] = acc
+                    else:
+                        # row-grouped gblk: tile j's rows, [v(D), m] then pad
+                        if r3:
+                            gb = gblk_ref[
+                                pb, j * RT : j * RT + (1 + D) * S1, :
+                            ].reshape(1 + D, E3)
+                        else:
+                            gb = gblk_ref[pb, j * GROWS : j * GROWS + 1 + D, :E3]
+                        # BcatT rows: v(D), e_0*v(D), .., e_{D-1}*v(D), m
+                        Bcat = jnp.zeros((nb, E3), jnp.float32)
+                        for i in range(D):
+                            vi = gb[i][None, :]
+                            Bcat = jnp.where(rid == i, vi, Bcat)
+                            for d in range(D):
+                                Bcat = jnp.where(
+                                    rid == (d + 1) * D + i, es[d] * vi, Bcat
+                                )
+                        Bcat = jnp.where(rid == (1 + D) * D, gb[D][None, :], Bcat)
+                        Xj = lax.dot_general(
+                            Bcat, W0[:, j * cap : (j + 1) * cap],
+                            (((1,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )  # [nb, cap]
+                        xsc[:, j * cap : (j + 1) * cap] = _pad_rows(Xj, NBP)
 
                 @pl.when(cnt == 0)
                 def _(j=j):
@@ -699,11 +894,17 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                     newpos, tid_l, T, E, h, tshape, origin, GL
                 )
                 vf = valid.astype(jnp.float32)[None, :]
-                W0n = _kernel_window(plains2, E, GL, D) * vf
                 Cm_new = [[newC[i * D + dd] for dd in range(D)] for i in range(D)]
                 U = _deposit_values_from(
                     v, Cm_new, jnp.where(valid, mass, 0.0), dvec2, bases2, GL, D
                 )
+                if zf_dep:
+                    w12p2 = _kernel_w12p(plains2, GL) * vf
+                    wxs2 = _kernel_wxs(plains2, GL)
+                    RR = U.shape[0]  # (1+D)*(1+D)
+                    Uz = (U[:, None, :] * wxs2[None, :, :]).reshape(RR * E, GL)
+                else:
+                    W0n = _kernel_window(plains2, E, GL, D) * vf
                 for j in range(G):
                     cnt = count_ref[gg * G + j]
 
@@ -715,16 +916,27 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
 
                     @pl.when(cnt > 0)
                     def _(j=j):
-                        YT = lax.dot_general(
-                            U[:, j * cap : (j + 1) * cap],
-                            _pad_rows(W0n[:, j * cap : (j + 1) * cap], EP),
-                            (((1,), (1,)), ((), ())),
-                            precision=lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32,
-                        )
-                        blk = _fixup_deposit(YT, E, D, 1 + D, EP)
-                        if r3:
-                            blk = blk.reshape((1 + D) * S1, 128)
+                        if zf_dep:
+                            Yz = lax.dot_general(
+                                Uz[:, j * cap : (j + 1) * cap],
+                                w12p2[:, j * cap : (j + 1) * cap],
+                                (((1,), (1,)), ((), ())),
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32,
+                            )  # [RR*E, 128] rows (r, kbit, q)
+                            Z = _zfac_merge(Yz, RR, E)
+                            blk = _fixup_deposit_r3(Z, E, D, 1 + D)
+                        else:
+                            YT = lax.dot_general(
+                                U[:, j * cap : (j + 1) * cap],
+                                _pad_rows(W0n[:, j * cap : (j + 1) * cap], EP),
+                                (((1,), (1,)), ((), ())),
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32,
+                            )
+                            blk = _fixup_deposit(YT, E, D, 1 + D, EP)
+                            if r3:
+                                blk = blk.reshape((1 + D) * S1, 128)
                         dep_ref[pb, j * RT : (j + 1) * RT, :] = _pad_rows(blk, RT)
 
         @pl.when(tot == 0)
