@@ -162,6 +162,14 @@ class StreamState:
     # with the dense tile count nt (at batch-64 the packed domain has 373k
     # tiles but only ~23k active).
     nbr: jax.Array
+    # [2*D, A] i32 — the face rows of nbr, progressively DMA-source-GATED
+    # for the m+f halo pass sequence: pass d's +/- tables route neighbors
+    # whose deposit block is provably still all zero (count == 0 and no
+    # earlier pass relayed into them) to the A sentinel, so the axis kernel
+    # skips their DMA (~43% of actives are zero-count shells at 3d-1m).
+    # Valid ONLY where "count == 0 => block zero" holds — the sharded path
+    # fills ghost blocks remotely and must keep using the raw nbr rows.
+    nbrg: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -1494,6 +1502,27 @@ def _nbr_table(tid_act, tshape, nt: int, A: int):
     return jnp.stack(out, axis=0)
 
 
+def _gated_nbr(nbr, count, A: int, D: int):
+    """DMA-source-gated copy of the face tables for the halo pass sequence.
+
+    Pass d's rows route neighbors whose deposit block is provably still all
+    zero — count == 0 and no pass 0..d-1 relayed a nonzero block into them —
+    to the A sentinel, which the axis kernels treat as "zero scratch, skip
+    DMA".  Bin-time only: the flags depend on count/nbr alone (constant
+    between re-bins), and computing them inline costs ~5 ms/substep in [A]-
+    row gathers at 3d-1m — the same order as the DMA it saves."""
+    nz = count > 0
+    out = []
+    for d in range(D):
+        nbp, nbm = nbr[2 * d], nbr[2 * d + 1]
+        nzs = jnp.append(nz, False)  # sentinel A -> zero source
+        nzp, nzm = jnp.take(nzs, nbp), jnp.take(nzs, nbm)
+        out.append(jnp.where(nzp, nbp, A))
+        out.append(jnp.where(nzm, nbm, A))
+        nz = nz | nzp | nzm
+    return jnp.stack(out, axis=0)
+
+
 def _dilate(occ, tshape):
     """Cube-dilate a [nt] bool occupancy map (separable +/-1 max filter).
 
@@ -1592,9 +1621,10 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=No
         slot_rows.reshape(NG, G, cap, F).transpose(0, 3, 1, 2).reshape(NG, F, G * cap)
     )
     flag = jnp.zeros((NG, G, cap), jnp.float32)
+    nbr = _nbr_table(tid_act, tshape, nt, A)
     return StreamState(
         stream=stream, count=count_act, tid=tid_act, flag=flag,
-        nbr=_nbr_table(tid_act, tshape, nt, A),
+        nbr=nbr, nbrg=_gated_nbr(nbr, count_act, A, len(tshape)),
     )
 
 
@@ -1791,13 +1821,21 @@ def _substep_core(
         )
         mf3 = dep2.reshape(A, D * S1, 128)
         if not spec.interpret:
-            # last axis pass fused with the grid update: emits gblk directly
+            # last axis pass fused with the grid update: emits gblk directly.
+            # The m+f passes take the GATED neighbor tables (st.nbrg):
+            # a neighbor whose deposit block is provably still all zero
+            # (count == 0 and nothing relayed into it by earlier passes) is
+            # pre-routed to the A sentinel at bin time, so the kernel skips
+            # its DMA — at 3d-1m ~43% of actives are zero-count shell relays
+            # and the halo passes are DMA-row-bound.  Computing the gate
+            # inline costs 6 [A]-row gathers ≈ 5 ms/substep (measured), i.e.
+            # exactly the DMA saving — it MUST live at bin time.
             for d in range(D - 1):
                 mf3 = _make_halo_axis(spec, D, d, D)(
-                    mf3, st.nbr[2 * d], st.nbr[2 * d + 1]
+                    mf3, st.nbrg[2 * d], st.nbrg[2 * d + 1]
                 )
             gblk = _make_halo_gblk(spec, D, D - 1, cfg.dt, cfg.gravity)(
-                mf3, hs_m3, st.nbr[2 * (D - 1)], st.nbr[2 * (D - 1) + 1]
+                mf3, hs_m3, st.nbrg[2 * (D - 1)], st.nbrg[2 * (D - 1) + 1]
             ).reshape(NG, G * GROWS * S1, 128)
         else:
             hs_mf3 = halo3(mf3, st.nbr, spec, D, D)
@@ -1843,7 +1881,8 @@ def _substep_core(
     new_stream, flag = outs[0], outs[1]
     dep1_next = outs[2] if fused else None
     st2 = StreamState(
-        stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr
+        stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr,
+        nbrg=st.nbrg,
     )
     return st2, dep1_next
 

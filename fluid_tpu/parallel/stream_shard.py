@@ -364,7 +364,11 @@ def _sharded_substep_core(
     new_stream, flag = outs[0], outs[1]
     dep1_next = outs[2] if fused else None
     st2 = StreamState(
-        stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr
+        stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr,
+        # raw, UNGATED tables only: ghost blocks are filled by the remote
+        # shard, so count == 0 does not imply a zero block here (see
+        # StreamState.nbrg) — the sharded substep never reads nbrg
+        nbrg=st.nbrg,
     )
     return ShardStreamState(st=st2, col=ss.col), dep1_next
 

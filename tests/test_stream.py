@@ -227,6 +227,32 @@ def test_halo_gblk_kernel_matches_xla_update_path():
     )
 
 
+def test_halo_dma_gating_matches_ungated():
+    """_substep_core's halo DMA source gating (neighbors with still-zero
+    blocks routed to the A sentinel) is exact: on blocks that are zero
+    wherever count == 0 — the deposit-kernel invariant — the gated axis
+    passes are bit-identical to the ungated ones."""
+    cfg, p, dom = _small_case(3, 512, seed=5)
+    spec = _spec(cfg, dom, 512)
+    st = stx.bin_particles(p, dom, spec)
+    D, A = 3, spec.A
+    S1 = spec.E**3 // 128
+    key = jax.random.key(17)
+    mf3 = jax.random.normal(key, (A, D * S1, 128), jnp.float32)
+    mf3 = jnp.where((st.count > 0)[:, None, None], mf3, 0.0)
+
+    ref = mf3
+    got = mf3
+    nbrg = stx._gated_nbr(st.nbr, st.count, A, D)
+    n_gated = int((np.asarray(nbrg) == A).sum() - (np.asarray(st.nbr) == A).sum())
+    assert n_gated > 0, "case must actually gate some DMAs"
+    for d in range(D):
+        k = stx._make_halo_axis(spec, D, d, D)
+        ref = k(ref, st.nbr[2 * d], st.nbr[2 * d + 1])
+        got = k(got, nbrg[2 * d], nbrg[2 * d + 1])
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_halo3_kernel_matches_gather_form():
     """The Pallas separable halo (interpret) is bit-identical to the XLA
     gather form it replaces on TPU (stream_transfer.halo3)."""
