@@ -120,7 +120,9 @@ def default_shard_spec(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     spec = StreamSpec(
-        tile=T, cap=128, halo=2, group=8,
+        # small groups under interpret: the CPU suite is compile-bound and
+        # kernel-body size scales with G (see stream_transfer.default_spec)
+        tile=T, cap=128, halo=2, group=2 if interpret else 8,
         active=min(occupied + 2 * ncol, nt_local, 110_000),
         interpret=interpret,
     )

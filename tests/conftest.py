@@ -10,14 +10,27 @@ first, and XLA_FLAGS must be in the environment before backends initialize.
 """
 
 import os
+from pathlib import Path
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+# The suite is COMPILE-bound (interpret-mode Pallas lowers each kernel to a
+# large HLO; a stream-substep jit is ~13 s trace + ~22 s compile vs 0.2 s
+# run).  Opt level 0 cuts XLA CPU compile ~30% with no measurable effect on
+# the 1e-3..1e-5 equivalence tolerances (golden suite verified).
+if "xla_backend_optimization_level" not in _flags:
+    _flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = _flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: repeat suite runs skip XLA compiles
+# entirely (the cache keys on optimized HLO, so code changes invalidate
+# exactly the affected entries).  Trace time is still paid per process.
+_cache = Path(__file__).parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

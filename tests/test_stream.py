@@ -35,12 +35,17 @@ def _small_case(dim, n, seed, vel_scale=0.4, world=24.0):
     return cfg, p, dom
 
 
-def _spec(cfg, dom, n, active=None):
+def _spec(cfg, dom, n, active=None, group=2):
     import math
 
+    # group=2 (not the production 8): the suite is TRACE/COMPILE-bound and
+    # kernel-body size scales with G (G=8 -> 43 s trace+compile per substep
+    # jit, G=2 -> 23 s, G=1 -> 19 s measured); two tiles per group still
+    # cover the multi-tile select/loop logic.  One 3D substep test keeps
+    # G=8 for production-shape coverage.
     nt = math.prod(s // 4 for s in dom.shape)
     return stx.StreamSpec(
-        tile=4, cap=128, halo=2, group=8,
+        tile=4, cap=128, halo=2, group=group,
         active=min(active or nt, nt), interpret=True,
     )
 
@@ -48,7 +53,8 @@ def _spec(cfg, dom, n, active=None):
 @pytest.mark.parametrize("dim", [2, 3])
 def test_stream_matches_dense_one_substep(dim):
     cfg, p, dom = _small_case(dim, 256, seed=0)
-    spec = _spec(cfg, dom, 256)
+    # 3D keeps the production group=8 (see _spec)
+    spec = _spec(cfg, dom, 256, group=8 if dim == 3 else 2)
     assert int(stx.overflow_count(p.pos, dom, spec)) == 0
     mp, ma = step.no_mouse()
     a, ga = jax.jit(lambda q: step.substep(q, cfg, dom, mp, ma, backend="dense"))(p)
@@ -134,7 +140,7 @@ def test_packed_scenes_match_per_scene_dense():
     packed, dom, stride = scene_mod.pack_scenes(pb, cfg)
     nt = math.prod(s // 4 for s in dom.shape)
     spec = stx.StreamSpec(
-        tile=4, cap=128, halo=2, group=8, active=nt,
+        tile=4, cap=128, halo=2, group=2, active=nt,
         scene_stride=stride, interpret=True,
     )
     assert int(stx.overflow_count(packed.pos, dom, spec)) == 0
@@ -251,6 +257,46 @@ def test_halo_dma_gating_matches_ungated():
         ref = k(ref, st.nbr[2 * d], st.nbr[2 * d + 1])
         got = k(got, nbrg[2 * d], nbrg[2 * d + 1])
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_stream_flat3d_big_tile_matches_dense():
+    """3D FLAT (non-rank-3) kernel path: tile=8 -> E=12, E^3=1728 % 128 != 0,
+    so _use_r3 is False and the substep takes the EP-lane-padded branch (the
+    layout of the big-tile contraction plan, BASELINE.md round 3).  One
+    substep plus a short frame with re-bins, vs dense."""
+    cfg, p, dom = _small_case(3, 256, seed=4)
+    import math as _m
+
+    nt = _m.prod(s // 8 for s in dom.shape)
+    spec = stx.StreamSpec(
+        tile=8, cap=256, halo=2, group=1, active=nt, interpret=True
+    )
+    assert not stx._use_r3(spec, 3) and spec.E == 12
+    assert int(stx.overflow_count(p.pos, dom, spec)) == 0
+    mp, ma = step.no_mouse()
+    a, ga = jax.jit(lambda q: step.substep(q, cfg, dom, mp, ma, backend="dense"))(p)
+    b, gb = jax.jit(lambda q: stx.substep(q, cfg, dom, mp, ma, spec))(p)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.density), np.asarray(b.density), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga.mass), np.asarray(gb.mass), atol=1e-4)
+
+    # short frame with drift-triggered re-bins at the big-tile geometry
+    cfg2, p2, dom2 = _small_case(3, 256, seed=6, vel_scale=4.0)
+    a2 = p2
+
+    @jax.jit
+    def run_dense(q):
+        def body(_, q):
+            return step.substep(q, cfg2, dom2, mp, ma)[0]
+
+        return jax.lax.fori_loop(0, 6, body, q)
+
+    a2 = run_dense(p2)
+    b2 = stx.frame(p2, cfg2, dom2, mp, ma, spec, substeps=6)
+    np.testing.assert_allclose(np.asarray(a2.pos), np.asarray(b2.pos), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a2.vel), np.asarray(b2.vel), atol=1e-3)
 
 
 def test_halo3_kernel_matches_gather_form():
