@@ -23,6 +23,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import math
 import sys
@@ -102,7 +103,10 @@ def _tiled_spec(cfg, dom, n, batch=None):
     return tt.TileSpec(tile=T, cap=cap, active=active, strict=True)
 
 
-def _stream_spec(cfg, dom, n):
+def _stream_spec(cfg, dom, n, pos=None):
+    import jax
+    import jax.numpy as jnp
+
     from fluid_tpu.ops import stream_transfer as stx
 
     T = 4
@@ -115,9 +119,31 @@ def _stream_spec(cfg, dom, n):
     # scalar-prefetch arrays (count+tid, 8B/tile) under the ~1MB budget.
     occupied = max(2048, int(n / max(per_tile, 1.0)) * 20)
     nt = math.prod(s // T for s in dom.shape)
-    return stx.StreamSpec(
+    spec = stx.StreamSpec(
         tile=T, cap=128, halo=2, group=8, active=min(occupied, nt, 110_000)
     )
+    if pos is None or spec.active >= nt:
+        return spec
+    # MEASURED budget: at sparse packed scales the formula above is wildly
+    # conservative (batch-64: 82k active for ~23k real — the all-zero tail
+    # groups still cost a full block write per kernel pass, ~2.5x the whole
+    # substep).  Probe the t=0 cube-dilated occupancy and budget 3x growth
+    # (measured batch-64 growth over 3 frames: 13.8k -> ~26k dilated; the
+    # strict post-run conservation check still fails loudly on overflow).
+    tshape, _ = stx._tile_geometry(dom, spec)
+
+    @jax.jit
+    def occ0(pos):
+        tid = stx._keys_from_pos(pos, dom, spec, tshape)
+        occ = jnp.zeros((nt,), bool).at[tid].set(True)
+        return stx._dilate(occ, tshape).sum()
+
+    measured = int(occ0(pos)) * 3
+    if measured < spec.active:
+        spec = dataclasses.replace(
+            spec, active=max(2048, min(measured, nt, 110_000))
+        )
+    return spec
 
 
 def _bench_frame(cfg, p, dom, frames, backend, batch=None):
@@ -140,12 +166,13 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
             # for the spatial backend (per-scene walls via scene_stride)
             p, dom, stride = scene_mod.pack_scenes(p, cfg)
             spec = _dc.replace(
-                _stream_spec(cfg, dom, n * batch), scene_stride=stride
+                _stream_spec(cfg, dom, n * batch, pos=p.pos),
+                scene_stride=stride,
             )
             batch = None  # packed: single flat run from here on
             n = p.pos.shape[0]
         else:
-            spec = _stream_spec(cfg, dom, n)
+            spec = _stream_spec(cfg, dom, n, pos=p.pos)
         # persistent binned state ACROSS frames via the library's Session
         # (bin once, un-bin once after the timed loop; Session raises on a
         # t=0 overflow).  strict=False defers the conservation check to
