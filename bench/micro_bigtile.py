@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--group", type=int, default=1)
     ap.add_argument("--subs", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--wchunk", type=int, default=None,
+        help="flat-path window chunk lanes (None = auto VMEM budget)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -79,10 +83,11 @@ def main():
     A = min(-(-d * 2 // args.group) * args.group, nt, 110_000)
     spec = stx.StreamSpec(
         tile=T, cap=args.cap, halo=2, group=args.group, active=A,
-        scene_stride=stride,
+        scene_stride=stride, wchunk=args.wchunk,
     )
     print(f"spec: A={spec.A} NG={spec.NG} cap={spec.cap} E={spec.E} "
-          f"r3={stx._use_r3(spec, dim)} slots={spec.A*spec.cap}")
+          f"r3={stx._use_r3(spec, dim)} wchunk={stx._wchunk(spec, dim)} "
+          f"slots={spec.A*spec.cap}")
 
     st = jax.block_until_ready(
         jax.jit(stx.bin_particles, static_argnums=(1, 2))(p, dom, spec)

@@ -97,12 +97,18 @@ class StreamSpec:
     # [k*stride + clip_lo_x, k*stride + clip_hi_x]; 0 = single scene
     scene_stride: float = 0.0
     interpret: bool = False  # run kernels in interpreter mode (CPU tests)
+    # FLAT-path window chunking: lanes per in-kernel window materialization
+    # (None = auto by VMEM budget, see _wchunk).  Big-tile specs (T=8,
+    # cap=1024) need it: the full [E^3, cap] window is ~7 MB of VMEM.
+    wchunk: Optional[int] = None
 
     def __post_init__(self):
         if self.cap % 128:
             raise ValueError("cap must be a multiple of 128 (lane alignment)")
         if self.halo < 1:
             raise ValueError("halo must cover the stencil radius (>= 1)")
+        if self.wchunk is not None and self.cap % self.wchunk:
+            raise ValueError("wchunk must divide cap")
 
     @property
     def E(self) -> int:
@@ -229,6 +235,40 @@ def _kernel_window(plains, E: int, cap: int, D: int):
         return w01.reshape(E * E, cap)
     w01 = (plains[0][:, None, :] * plains[1][None, :, :]).reshape(E * E, cap)
     return (w01[:, None, :] * plains[2][None, :, :]).reshape(E**3, cap)
+
+
+def _wchunk(spec: "StreamSpec", D: int) -> int:
+    """Lanes per in-kernel window materialization in the FLAT path.
+
+    Big-tile specs make the full [E^D, G*cap] window a multi-MB VMEM temp
+    (T=8, cap=1024: 7 MB) — materialize it WC lanes at a time and accumulate
+    the per-chunk dots instead.  Auto: largest power-of-two division of cap
+    keeping one [EP, WC] f32 chunk under ~4 MB (cap itself when it fits,
+    which preserves the measured production path at T=4)."""
+    if _use_r3(spec, D):
+        return spec.cap  # r3/zfac path never materializes the flat window
+    if spec.wchunk is not None:
+        return min(spec.wchunk, spec.cap)
+    wc = spec.cap
+    while wc > 128 and spec.EP(D) * wc * 4 > 4 * 1024 * 1024:
+        wc //= 2
+    return wc
+
+
+def _window_chunk(plains, vf, lo: int, wc: int, E: int, D: int):
+    """Window rows [E^D, wc] for lane range [lo, lo+wc), masked by ``vf``
+    (valid-lane floats; None = unmasked).
+
+    Equivalent to ``(_kernel_window(plains, ...) * vf)[:, lo:lo+wc]`` without
+    ever materializing the full-GL window."""
+    sl = slice(lo, lo + wc)
+    w01 = (plains[0][:, sl][:, None, :] * plains[1][None, :, sl]).reshape(
+        E * E, wc
+    )
+    if D == 2:
+        return w01 if vf is None else w01 * vf[:, sl]
+    w = (w01[:, None, :] * plains[2][None, :, sl]).reshape(E**3, wc)
+    return w if vf is None else w * vf[:, sl]
 
 
 # In-situ A/B toggles for the z-factored contraction sites (read at kernel
@@ -473,6 +513,8 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
     zf = _use_zfac(spec, D)
     zf_dep = zf and ZFAC_DEPOSIT
     zf_rho = zf and ZFAC_RHO and mode == "p2g2"
+    WC = _wchunk(spec, D)  # flat-path window chunk lanes (VMEM budget)
+    NCH = cap // WC
 
     def kernel(*refs):
         GL = G * cap
@@ -517,7 +559,7 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
             vf = valid.astype(jnp.float32)[None, :]
             if zf_dep or zf_rho:
                 w12p = _kernel_w12p(plains, GL) * vf  # [128, G*cap]
-            if not zf_dep or (mode == "p2g2" and not zf_rho):
+            if (not zf_dep or (mode == "p2g2" and not zf_rho)) and NCH == 1:
                 W0 = _kernel_window(plains, E, GL, D) * vf  # [E^D, G*cap]
             if mode == "p2g1":
                 U = _deposit_values(pm, valid, dvec, bases, GL, D, h)
@@ -549,6 +591,24 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                             xe = jnp.where(grp == j, Xe[j * S1 + q], xe)
                             xo = jnp.where(grp == j, Xo[j * S1 + q], xo)
                         rho = rho + xe * plains[0][2 * q] + xo * plains[0][2 * q + 1]
+                elif NCH > 1:
+                    # chunked rho (flat big-tile path): per (tile, chunk)
+                    # [1, E^D] x [E^D, WC] dots placed into their lane range
+                    # by zero-pad + roll — the [E^D, GL] window never exists
+                    rho2 = jnp.zeros((1, GL), jnp.float32)
+                    for j in range(G):
+                        mrow = mg_ref[pb, j : j + 1, :E3]  # [1, E^D]
+                        for c in range(NCH):
+                            lo = j * cap + c * WC
+                            W0c = _window_chunk(plains, vf, lo, WC, E, D)
+                            x = lax.dot_general(
+                                mrow, W0c, (((1,), (0,)), ((), ())),
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32,
+                            )  # [1, WC]
+                            xg = jnp.pad(x, ((0, 0), (0, GL - WC)))
+                            rho2 = rho2 + (pltpu.roll(xg, lo, 1) if lo else xg)
+                    rho = rho2[0]
                 else:
                     if r3:
                         mrows = _rows_stack(
@@ -598,13 +658,31 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                         Z = _zfac_merge(Yz, RR, E)  # [RR*S1, 128]
                         blk = _fixup_deposit_r3(Z, E, D, CH)  # [CH*S1, 128]
                     else:
-                        W0p = _pad_rows(W0[:, j * cap : (j + 1) * cap], EP)
-                        YT = lax.dot_general(
-                            U[:, j * cap : (j + 1) * cap], W0p,
-                            (((1,), (1,)), ((), ())),
-                            precision=lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32,
-                        )  # [(1+D)*CH, EP]
+                        if NCH > 1:
+                            # chunked window: accumulate the deposit dot
+                            # over WC-lane window chunks (K = WC per dot)
+                            YT = None
+                            for c in range(NCH):
+                                lo = j * cap + c * WC
+                                W0p = _pad_rows(
+                                    _window_chunk(plains, vf, lo, WC, E, D),
+                                    EP,
+                                )
+                                yt = lax.dot_general(
+                                    U[:, lo : lo + WC], W0p,
+                                    (((1,), (1,)), ((), ())),
+                                    precision=lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32,
+                                )  # [(1+D)*CH, EP]
+                                YT = yt if YT is None else YT + yt
+                        else:
+                            W0p = _pad_rows(W0[:, j * cap : (j + 1) * cap], EP)
+                            YT = lax.dot_general(
+                                U[:, j * cap : (j + 1) * cap], W0p,
+                                (((1,), (1,)), ((), ())),
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32,
+                            )  # [(1+D)*CH, EP]
                         blk = _fixup_deposit(YT, E, D, CH, EP)  # [CH, EP]
                         if r3:
                             blk = blk.reshape(CH * S1, 128)
@@ -687,6 +765,8 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
     zf = _use_zfac(spec, D)
     zf_g2p = zf and ZFAC_G2P
     zf_dep = zf and ZFAC_DEPOSIT
+    WC = _wchunk(spec, D)  # flat-path window chunk lanes (VMEM budget)
+    NCH = cap // WC
 
     def kernel(*refs):
         for pb in range(PB):
@@ -743,7 +823,8 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                 )
                 l3 = lax.broadcasted_iota(jnp.int32, (NBP * S1, 128), 1)
             else:
-                W0 = _kernel_window(plains, E, GL, D)  # [E^D, G*cap]
+                if NCH == 1:
+                    W0 = _kernel_window(plains, E, GL, D)  # [E^D, G*cap]
                 es = _lane_e_coords(E, D, 1)
                 rid = lax.broadcasted_iota(jnp.int32, (nb, E3), 0)
 
@@ -821,13 +902,25 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                                     rid == (d + 1) * D + i, es[d] * vi, Bcat
                                 )
                         Bcat = jnp.where(rid == (1 + D) * D, gb[D][None, :], Bcat)
-                        Xj = lax.dot_general(
-                            Bcat, W0[:, j * cap : (j + 1) * cap],
-                            (((1,), (0,)), ((), ())),
-                            precision=lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32,
-                        )  # [nb, cap]
-                        xsc[:, j * cap : (j + 1) * cap] = _pad_rows(Xj, NBP)
+                        if NCH > 1:
+                            # chunked g2p: the [E^D, GL] window never exists
+                            for c in range(NCH):
+                                lo = j * cap + c * WC
+                                W0c = _window_chunk(plains, None, lo, WC, E, D)
+                                Xc = lax.dot_general(
+                                    Bcat, W0c, (((1,), (0,)), ((), ())),
+                                    precision=lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32,
+                                )  # [nb, WC]
+                                xsc[:, lo : lo + WC] = _pad_rows(Xc, NBP)
+                        else:
+                            Xj = lax.dot_general(
+                                Bcat, W0[:, j * cap : (j + 1) * cap],
+                                (((1,), (0,)), ((), ())),
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32,
+                            )  # [nb, cap]
+                            xsc[:, j * cap : (j + 1) * cap] = _pad_rows(Xj, NBP)
 
                 @pl.when(cnt == 0)
                 def _(j=j):
@@ -915,7 +1008,8 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                     RR = U.shape[0]  # (1+D)*(1+D)
                     Uz = (U[:, None, :] * wxs2[None, :, :]).reshape(RR * E, GL)
                 else:
-                    W0n = _kernel_window(plains2, E, GL, D) * vf
+                    if NCH == 1:
+                        W0n = _kernel_window(plains2, E, GL, D) * vf
                 for j in range(G):
                     cnt = count_ref[gg * G + j]
 
@@ -938,13 +1032,33 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                             Z = _zfac_merge(Yz, RR, E)
                             blk = _fixup_deposit_r3(Z, E, D, 1 + D)
                         else:
-                            YT = lax.dot_general(
-                                U[:, j * cap : (j + 1) * cap],
-                                _pad_rows(W0n[:, j * cap : (j + 1) * cap], EP),
-                                (((1,), (1,)), ((), ())),
-                                precision=lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32,
-                            )
+                            if NCH > 1:
+                                YT = None
+                                for c in range(NCH):
+                                    lo = j * cap + c * WC
+                                    W0p = _pad_rows(
+                                        _window_chunk(
+                                            plains2, vf, lo, WC, E, D
+                                        ),
+                                        EP,
+                                    )
+                                    yt = lax.dot_general(
+                                        U[:, lo : lo + WC], W0p,
+                                        (((1,), (1,)), ((), ())),
+                                        precision=lax.Precision.HIGHEST,
+                                        preferred_element_type=jnp.float32,
+                                    )
+                                    YT = yt if YT is None else YT + yt
+                            else:
+                                YT = lax.dot_general(
+                                    U[:, j * cap : (j + 1) * cap],
+                                    _pad_rows(
+                                        W0n[:, j * cap : (j + 1) * cap], EP
+                                    ),
+                                    (((1,), (1,)), ((), ())),
+                                    precision=lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32,
+                                )
                             blk = _fixup_deposit(YT, E, D, 1 + D, EP)
                             if r3:
                                 blk = blk.reshape((1 + D) * S1, 128)

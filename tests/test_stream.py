@@ -268,10 +268,14 @@ def test_stream_flat3d_big_tile_matches_dense():
     import math as _m
 
     nt = _m.prod(s // 8 for s in dom.shape)
+    # wchunk=128 -> 2 window chunks per tile: exercises the chunked flat
+    # deposit/rho/g2p/fused-p2g1 dots (the [E^3, cap] window never exists)
     spec = stx.StreamSpec(
-        tile=8, cap=256, halo=2, group=1, active=nt, interpret=True
+        tile=8, cap=256, halo=2, group=1, active=nt, interpret=True,
+        wchunk=128,
     )
     assert not stx._use_r3(spec, 3) and spec.E == 12
+    assert stx._wchunk(spec, 3) == 128
     assert int(stx.overflow_count(p.pos, dom, spec)) == 0
     mp, ma = step.no_mouse()
     a, ga = jax.jit(lambda q: step.substep(q, cfg, dom, mp, ma, backend="dense"))(p)
