@@ -38,6 +38,10 @@ def main():
         "--wchunk", type=int, default=None,
         help="flat-path window chunk lanes (None = auto VMEM budget)",
     )
+    ap.add_argument(
+        "--pair", action="store_true",
+        help="tile pairing (zfac path: tile=4 cap=128 only)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -83,11 +87,12 @@ def main():
     A = min(-(-d * 2 // args.group) * args.group, nt, 110_000)
     spec = stx.StreamSpec(
         tile=T, cap=args.cap, halo=2, group=args.group, active=A,
-        scene_stride=stride, wchunk=args.wchunk,
+        scene_stride=stride, wchunk=args.wchunk, pair=args.pair,
     )
+    nslots = (spec.A // 2 if stx._use_pair(spec, dim) else spec.A) * spec.cap
     print(f"spec: A={spec.A} NG={spec.NG} cap={spec.cap} E={spec.E} "
-          f"r3={stx._use_r3(spec, dim)} wchunk={stx._wchunk(spec, dim)} "
-          f"slots={spec.A*spec.cap}")
+          f"r3={stx._use_r3(spec, dim)} pair={stx._use_pair(spec, dim)} "
+          f"wchunk={stx._wchunk(spec, dim)} slots={nslots}")
 
     st = jax.block_until_ready(
         jax.jit(stx.bin_particles, static_argnums=(1, 2))(p, dom, spec)

@@ -101,6 +101,13 @@ class StreamSpec:
     # (None = auto by VMEM budget, see _wchunk).  Big-tile specs (T=8,
     # cap=1024) need it: the full [E^3, cap] window is ~7 MB of VMEM.
     wchunk: Optional[int] = None
+    # TILE PAIRING (zfac path only): two occupied tiles share each cap-lane
+    # slot block, and every per-tile zfac dot becomes one per-PAIR dot whose
+    # output lanes carry tile A in 0:64 and tile B in 64:128 (the pad half
+    # the solo dot wastes).  ~2x fewer MXU dots at ~2x slot occupancy, and
+    # half the stream slots (bin/re-bin gathers, collect writes).  See
+    # _bin_rows for the pairing rule.
+    pair: bool = False
 
     def __post_init__(self):
         if self.cap % 128:
@@ -109,6 +116,8 @@ class StreamSpec:
             raise ValueError("halo must cover the stencil radius (>= 1)")
         if self.wchunk is not None and self.cap % self.wchunk:
             raise ValueError("wchunk must divide cap")
+        if self.pair and self.group % 2:
+            raise ValueError("pair mode needs an even group (tiles/program)")
 
     @property
     def E(self) -> int:
@@ -278,6 +287,13 @@ ZFAC_RHO = True
 ZFAC_G2P = True
 
 
+def _use_pair(spec: "StreamSpec", D: int) -> bool:
+    """Tile pairing rides the zfac dot structure: the pair trick packs tile
+    B's window rows/lanes into the 64..128 half that the E^2 = 64 pair
+    window leaves as zero padding, so it is exactly as general as zfac."""
+    return spec.pair and _use_zfac(spec, D)
+
+
 def _use_zfac(spec: "StreamSpec", D: int) -> bool:
     """z-factored contractions: every in-kernel dot against the E^3-wide
     window W0 = wx (x) (wy (x) wz) factors through the E^2 = 64-row pair
@@ -326,6 +342,35 @@ def _zfac_merge(Yz, R: int, E: int):
     Yb = Y4[:, 1].reshape(R * Q, 128)
     l_io = lax.broadcasted_iota(jnp.int32, (R * Q, 128), 1)
     return jnp.where(l_io < 64, Ya, pltpu.roll(Yb, 64, 1))
+
+
+def _kernel_w12p_pair(plains, mA, mB):
+    """[128, GL] PAIR window: lane columns of tile A carry their wy (x) wz
+    rows in 0:64, tile B lanes in 64:128 — the zero-pad half of the solo
+    pair window (_kernel_w12p).  One dot against this serves both member
+    tiles of a slot block; ``mA``/``mB`` are the per-lane membership masks
+    (floats, already restricted to valid slots)."""
+    E = plains[1].shape[0]
+    E2 = E * E  # == 64 (zfac invariant)
+    GL = plains[1].shape[1]
+    w12 = (plains[1][:, None, :] * plains[2][None, :, :]).reshape(E2, GL)
+    return jnp.pad(w12 * mA[None, :], ((0, 128 - E2), (0, 0))) + jnp.pad(
+        w12 * mB[None, :], ((128 - E2, 0), (0, 0))
+    )
+
+
+def _zfac_merge_pair(Yz, R: int, E: int):
+    """Pair dot output [R*E, 128] rows (r, kbit, q), lanes (tb*64 + yz) ->
+    the two member tiles' merged window blocks ([R*S1, 128] each, lanes
+    (kbit*64 + yz) as in _zfac_merge)."""
+    Q = E // 2
+    Y4 = Yz.reshape(R, 2, Q, 128)
+    Ya = Y4[:, 0].reshape(R * Q, 128)  # even-kbit rows: A in 0:64, B in 64:
+    Yb = Y4[:, 1].reshape(R * Q, 128)  # odd-kbit rows
+    l_io = lax.broadcasted_iota(jnp.int32, (R * Q, 128), 1)
+    blk_a = jnp.where(l_io < 64, Ya, pltpu.roll(Yb, 64, 1))
+    blk_b = jnp.where(l_io < 64, pltpu.roll(Ya, 64, 1), Yb)
+    return blk_a, blk_b
 
 
 def _r3_e_coords(E: int, D: int, rows: int, S1: int):
@@ -515,12 +560,134 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
     zf_rho = zf and ZFAC_RHO and mode == "p2g2"
     WC = _wchunk(spec, D)  # flat-path window chunk lanes (VMEM budget)
     NCH = cap // WC
+    pairmode = _use_pair(spec, D)
+    GLW = (G // 2) * cap if pairmode else G * cap  # stream lanes per group
 
     def kernel(*refs):
-        GL = G * cap
         E3 = E**D
+        fn = _one_group_pair if pairmode else _one_group
         for pb in range(PB):
-            _one_group(refs, pb, pl.program_id(0) * PB + pb, GL, E3)
+            fn(refs, pb, pl.program_id(0) * PB + pb, GLW, E3)
+
+    def _one_group_pair(refs, pb, gg, GL, E3):
+        """PAIR layout: slot block jp holds tiles (2jp, 2jp+1) front-packed.
+
+        One zfac dot per PAIR: the pair window (_kernel_w12p_pair) routes
+        each lane's rows into its member tile's output half, so the dot's
+        otherwise-padded 64..128 lanes carry tile B.  A zero-count member's
+        output half is exact zeros (its lane masks are empty)."""
+        if mode == "p2g1":
+            count_ref, tid_ref, stream_ref, out_ref = refs
+        else:
+            count_ref, tid_ref, params_ref, stream_ref, mg_ref, d1_ref, out_ref = refs
+        GP = G // 2
+        l_io = lax.broadcasted_iota(jnp.int32, (1, GL), 1)[0]
+        s_io = l_io % cap
+        grp = l_io // cap  # PAIR index within the group
+        tid_l = jnp.zeros((GL,), jnp.int32)
+        c0_l = jnp.zeros((GL,), jnp.int32)
+        cs_l = jnp.zeros((GL,), jnp.int32)
+        tot = count_ref[gg * G]
+        for jp in range(GP):
+            a0 = gg * G + 2 * jp
+            c0 = count_ref[a0]
+            inp = grp == jp
+            tid_l = jnp.where(
+                inp, jnp.where(s_io < c0, tid_ref[a0], tid_ref[a0 + 1]), tid_l
+            )
+            c0_l = jnp.where(inp, c0, c0_l)
+            cs_l = jnp.where(inp, c0 + count_ref[a0 + 1], cs_l)
+            if jp > 0:
+                tot = tot + count_ref[a0]
+            tot = tot + count_ref[a0 + 1]
+        valid = s_io < cs_l
+
+        @pl.when(tot == 0)
+        def _():
+            out_ref[pb] = jnp.zeros((G * RT, OW), jnp.float32)
+
+        @pl.when(tot > 0)
+        def _():
+            pm = stream_ref[pb]  # [F, GL]
+            plains, bases, dvec = _kernel_profiles_from(
+                [pm[d] for d in range(D)], tid_l, T, E, h, tshape, origin, GL
+            )
+            mA = (valid & (s_io < c0_l)).astype(jnp.float32)
+            mB = (valid & (s_io >= c0_l)).astype(jnp.float32)
+            w12p = _kernel_w12p_pair(plains, mA, mB)  # [128, GL]
+            if mode == "p2g1":
+                U = _deposit_values(pm, valid, dvec, bases, GL, D, h)
+            else:
+                # z-factored density, pair-stacked: both member tiles' mass
+                # windows ride the lane halves of ONE dot per parity
+                mgall = mg_ref[pb]  # [G*S1, 128] rows (tile j, q)
+                m4 = mgall.reshape(GP, 2 * S1, 128)
+                mg0 = m4[:, :S1].reshape(GP * S1, 128)
+                mg1 = m4[:, S1:].reshape(GP * S1, 128)
+                l2 = lax.broadcasted_iota(jnp.int32, (GP * S1, 128), 1)
+                MeP = jnp.where(l2 < 64, mg0, 0.0) + pltpu.roll(
+                    jnp.where(l2 < 64, mg1, 0.0), 64, 1
+                )
+                MoP = jnp.where(l2 < 64, pltpu.roll(mg0, 64, 1), 0.0) + pltpu.roll(
+                    jnp.where(l2 < 64, pltpu.roll(mg1, 64, 1), 0.0), 64, 1
+                )
+                Xe = lax.dot_general(
+                    MeP, w12p, (((1,), (0,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )  # [GP*S1, GL] rows (jp, q): e0 = 2q part
+                Xo = lax.dot_general(
+                    MoP, w12p, (((1,), (0,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                rho = jnp.zeros((GL,), jnp.float32)
+                for q in range(S1):
+                    xe = jnp.zeros((GL,), jnp.float32)
+                    xo = jnp.zeros((GL,), jnp.float32)
+                    for jp in range(GP):
+                        xe = jnp.where(grp == jp, Xe[jp * S1 + q], xe)
+                        xo = jnp.where(grp == jp, Xo[jp * S1 + q], xo)
+                    rho = rho + xe * plains[0][2 * q] + xo * plains[0][2 * q + 1]
+                cfg_row = tuple(params_ref[i] for i in range(6))
+                U, _, _ = _p2g2_values(
+                    pm, valid, dvec, bases, rho, cfg_row, GL, D
+                )
+            wxs = _kernel_wxs(plains, GL)
+            RR = U.shape[0]
+            Uz = (U[:, None, :] * wxs[None, :, :]).reshape(RR * E, GL)
+            for jp in range(GP):
+                a0 = gg * G + 2 * jp
+                cp = count_ref[a0] + count_ref[a0 + 1]
+                j0, j1 = 2 * jp, 2 * jp + 1
+
+                @pl.when(cp == 0)
+                def _(j0=j0):
+                    out_ref[pb, j0 * RT : (j0 + 2) * RT, :] = jnp.zeros(
+                        (2 * RT, OW), jnp.float32
+                    )
+
+                @pl.when(cp > 0)
+                def _(jp=jp, j0=j0, j1=j1):
+                    sl = slice(jp * cap, (jp + 1) * cap)
+                    Yz = lax.dot_general(
+                        Uz[:, sl], w12p[:, sl], (((1,), (1,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # [RR*E, 128] rows (r, kbit, q), lanes (tb*64 + yz)
+                    za, zb = _zfac_merge_pair(Yz, RR, E)
+                    ba = _fixup_deposit_r3(za, E, D, CH)  # [CH*S1, 128]
+                    bb = _fixup_deposit_r3(zb, E, D, CH)
+                    if mode == "p2g2":
+                        # fused m+f: a zero-count member's d1 rows are zero
+                        ba = ba + d1_ref[
+                            pb, j0 * RT1 + S1 : j0 * RT1 + (1 + D) * S1, :
+                        ]
+                        bb = bb + d1_ref[
+                            pb, j1 * RT1 + S1 : j1 * RT1 + (1 + D) * S1, :
+                        ]
+                    out_ref[pb, j0 * RT : (j0 + 1) * RT, :] = _pad_rows(ba, RT)
+                    out_ref[pb, j1 * RT : (j1 + 1) * RT, :] = _pad_rows(bb, RT)
 
     def _one_group(refs, pb, gg, GL, E3):
         if mode == "p2g1":
@@ -700,7 +867,7 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
 
     n_prefetch = 2 if mode == "p2g1" else 3
     in_specs = [
-        pl.BlockSpec((PB, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((PB, F, GLW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
     ]
     if mode == "p2g2":
         mg_block = (PB, G * S1, 128) if r3 else (PB, G, EP)
@@ -767,6 +934,9 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
     zf_dep = zf and ZFAC_DEPOSIT
     WC = _wchunk(spec, D)  # flat-path window chunk lanes (VMEM budget)
     NCH = cap // WC
+    pairmode = _use_pair(spec, D)
+    GLW = (G // 2) * cap if pairmode else G * cap  # stream lanes per group
+    GB = GLW // cap  # slot blocks per group (pairs when pairing)
 
     def kernel(*refs):
         for pb in range(PB):
@@ -793,19 +963,35 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
         clip_hi = [params_ref[10 + D + d] for d in range(D)]
         stride = params_ref[10 + 2 * D]  # packed-scene stride (0 = off)
 
-        GL = G * cap
+        GL = GLW
         l_io = lax.broadcasted_iota(jnp.int32, (1, GL), 1)[0]
         s_io = l_io % cap
-        grp = l_io // cap
+        grp = l_io // cap  # slot-block index (pair index when pairing)
         tid_l = jnp.zeros((GL,), jnp.int32)
+        c0_l = jnp.zeros((GL,), jnp.int32)  # pair-first count (pair mode)
         cnt_l = jnp.zeros((GL,), jnp.int32)
         tot = count_ref[gg * G]
-        for j in range(G):
-            a = gg * G + j
-            tid_l = jnp.where(grp == j, tid_ref[a], tid_l)
-            cnt_l = jnp.where(grp == j, count_ref[a], cnt_l)
-            if j > 0:
-                tot = tot + count_ref[a]
+        if pairmode:
+            for jp in range(GB):
+                a0 = gg * G + 2 * jp
+                c0 = count_ref[a0]
+                inp = grp == jp
+                tid_l = jnp.where(
+                    inp, jnp.where(s_io < c0, tid_ref[a0], tid_ref[a0 + 1]),
+                    tid_l,
+                )
+                c0_l = jnp.where(inp, c0, c0_l)
+                cnt_l = jnp.where(inp, c0 + count_ref[a0 + 1], cnt_l)
+                if jp > 0:
+                    tot = tot + count_ref[a0]
+                tot = tot + count_ref[a0 + 1]
+        else:
+            for j in range(G):
+                a = gg * G + j
+                tid_l = jnp.where(grp == j, tid_ref[a], tid_l)
+                cnt_l = jnp.where(grp == j, count_ref[a], cnt_l)
+                if j > 0:
+                    tot = tot + count_ref[a]
         valid = s_io < cnt_l
 
         def _collect_group():
@@ -813,7 +999,16 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
             plains, bases, dvec = _kernel_profiles_from(
                 [pm[d] for d in range(D)], tid_l, T, E, h, tshape, origin, GL
             )
-            if zf_g2p:
+            if pairmode:
+                mA = (valid & (s_io < c0_l)).astype(jnp.float32)
+                mB = (valid & (s_io >= c0_l)).astype(jnp.float32)
+                w12p = _kernel_w12p_pair(plains, mA, mB)  # [128, GL]
+                es3 = _r3_e_coords(E, D, NBP * S1, S1)
+                rid3 = (
+                    lax.broadcasted_iota(jnp.int32, (NBP * S1, 128), 0) // S1
+                )
+                l3 = lax.broadcasted_iota(jnp.int32, (NBP * S1, 128), 1)
+            elif zf_g2p:
                 w12p = _kernel_w12p(plains, GL)  # [128, G*cap]
                 # r3 e-coord coefficients for the Bcat channel build and the
                 # lane iota for the even/odd e0 split (shared over tiles)
@@ -828,8 +1023,82 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                 es = _lane_e_coords(E, D, 1)
                 rid = lax.broadcasted_iota(jnp.int32, (nb, E3), 0)
 
+            def _bc_of(j):
+                # Bcat in the r3 row layout [(c, q), (kbit*64 + yz)]:
+                # channel rows v(D), e_0*v(D), .., e_{D-1}*v(D), m from tile
+                # j's gblk, broadcast over the NBP channel rows
+                gb3 = gblk_ref[
+                    pb, j * RT : j * RT + (1 + D) * S1, :
+                ].reshape(1 + D, S1, 128)
+                Bc = jnp.zeros((NBP * S1, 128), jnp.float32)
+                for i in range(D):
+                    rep = jnp.broadcast_to(
+                        gb3[i][None], (NBP, S1, 128)
+                    ).reshape(NBP * S1, 128)
+                    Bc = jnp.where(rid3 == i, rep, Bc)
+                    for d in range(D):
+                        Bc = jnp.where(
+                            rid3 == (d + 1) * D + i, es3[d] * rep, Bc
+                        )
+                repm = jnp.broadcast_to(
+                    gb3[D][None], (NBP, S1, 128)
+                ).reshape(NBP * S1, 128)
+                return jnp.where(rid3 == (1 + D) * D, repm, Bc)
+
+            if pairmode:
+                # per-PAIR g2p: both member tiles' Bcat channels ride the
+                # lane halves (tb*64 + yz) of ONE dot per e0-parity
+                for jp in range(GB):
+                    a0 = gg * G + 2 * jp
+                    cp = count_ref[a0] + count_ref[a0 + 1]
+
+                    @pl.when(cp > 0)
+                    def _(jp=jp):
+                        Bc0 = _bc_of(2 * jp)
+                        Bc1 = _bc_of(2 * jp + 1)
+                        BeP = jnp.where(l3 < 64, Bc0, 0.0) + pltpu.roll(
+                            jnp.where(l3 < 64, Bc1, 0.0), 64, 1
+                        )
+                        BoP = jnp.where(
+                            l3 < 64, pltpu.roll(Bc0, 64, 1), 0.0
+                        ) + pltpu.roll(
+                            jnp.where(l3 < 64, pltpu.roll(Bc1, 64, 1), 0.0),
+                            64, 1,
+                        )
+                        sl = slice(jp * cap, (jp + 1) * cap)
+                        Xe = lax.dot_general(
+                            BeP, w12p[:, sl], (((1,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )  # [NBP*S1, cap] rows (c, q)
+                        Xo = lax.dot_general(
+                            BoP, w12p[:, sl], (((1,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )
+                        X3e = Xe.reshape(NBP, S1, cap)
+                        X3o = Xo.reshape(NBP, S1, cap)
+                        wx = plains[0]
+                        acc = (
+                            X3e[:, 0] * wx[0, sl][None, :]
+                            + X3o[:, 0] * wx[1, sl][None, :]
+                        )
+                        for q in range(1, S1):
+                            acc = (
+                                acc
+                                + X3e[:, q] * wx[2 * q, sl][None, :]
+                                + X3o[:, q] * wx[2 * q + 1, sl][None, :]
+                            )
+                        xsc[:, sl] = acc
+
+                    @pl.when(cp == 0)
+                    def _(jp=jp):
+                        xsc[:, jp * cap : (jp + 1) * cap] = jnp.zeros(
+                            (NBP, cap), jnp.float32
+                        )
+
             # per-tile g2p matmuls into the lane-concatenated scratch
-            for j in range(G):
+            for j in range(0 if pairmode else G):
                 cnt = count_ref[gg * G + j]
 
                 @pl.when(cnt > 0)
@@ -840,23 +1109,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                         # pair window per e0-parity, then the E e0-slices
                         # combined with wx (probe p10) — 2 one-weight-tile
                         # dots/tile instead of one 4-tile-wide dot
-                        gb3 = gblk_ref[
-                            pb, j * RT : j * RT + (1 + D) * S1, :
-                        ].reshape(1 + D, S1, 128)
-                        Bc = jnp.zeros((NBP * S1, 128), jnp.float32)
-                        for i in range(D):
-                            rep = jnp.broadcast_to(
-                                gb3[i][None], (NBP, S1, 128)
-                            ).reshape(NBP * S1, 128)
-                            Bc = jnp.where(rid3 == i, rep, Bc)
-                            for d in range(D):
-                                Bc = jnp.where(
-                                    rid3 == (d + 1) * D + i, es3[d] * rep, Bc
-                                )
-                        repm = jnp.broadcast_to(
-                            gb3[D][None], (NBP, S1, 128)
-                        ).reshape(NBP * S1, 128)
-                        Bc = jnp.where(rid3 == (1 + D) * D, repm, Bc)
+                        Bc = _bc_of(j)
                         Be = jnp.where(l3 < 64, Bc, 0.0)
                         Bo = jnp.where(l3 < 64, pltpu.roll(Bc, 64, 1), 0.0)
                         sl = slice(j * cap, (j + 1) * cap)
@@ -989,7 +1242,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
             out = _rows_stack(rows, GL)
             out_ref[pb] = jnp.where(valid[None, :], out, 0.0)
             flagv = jnp.where(valid, flag, 0.0)
-            for j in range(G):
+            for j in range(GB):
                 flag_ref[pb, j, :] = flagv[j * cap : (j + 1) * cap]
 
             if fused_p2g1:
@@ -1002,7 +1255,45 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                 U = _deposit_values_from(
                     v, Cm_new, jnp.where(valid, mass, 0.0), dvec2, bases2, GL, D
                 )
-                if zf_dep:
+                if pairmode:
+                    # pair window from the NEW positions; slot->tile
+                    # membership is a bin-time property, so mA/mB hold
+                    mA2 = (valid & (s_io < c0_l)).astype(jnp.float32)
+                    mB2 = (valid & (s_io >= c0_l)).astype(jnp.float32)
+                    w12p2 = _kernel_w12p_pair(plains2, mA2, mB2)
+                    wxs2 = _kernel_wxs(plains2, GL)
+                    RR = U.shape[0]
+                    Uz = (U[:, None, :] * wxs2[None, :, :]).reshape(RR * E, GL)
+                    for jp in range(GB):
+                        a0 = gg * G + 2 * jp
+                        cp = count_ref[a0] + count_ref[a0 + 1]
+                        j0, j1 = 2 * jp, 2 * jp + 1
+
+                        @pl.when(cp == 0)
+                        def _(j0=j0):
+                            dep_ref[pb, j0 * RT : (j0 + 2) * RT, :] = (
+                                jnp.zeros((2 * RT, OW), jnp.float32)
+                            )
+
+                        @pl.when(cp > 0)
+                        def _(jp=jp, j0=j0, j1=j1):
+                            sl = slice(jp * cap, (jp + 1) * cap)
+                            Yz = lax.dot_general(
+                                Uz[:, sl], w12p2[:, sl],
+                                (((1,), (1,)), ((), ())),
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32,
+                            )  # [RR*E, 128] lanes (tb*64 + yz)
+                            za, zb = _zfac_merge_pair(Yz, RR, E)
+                            ba = _fixup_deposit_r3(za, E, D, 1 + D)
+                            bb = _fixup_deposit_r3(zb, E, D, 1 + D)
+                            dep_ref[pb, j0 * RT : (j0 + 1) * RT, :] = (
+                                _pad_rows(ba, RT)
+                            )
+                            dep_ref[pb, j1 * RT : (j1 + 1) * RT, :] = (
+                                _pad_rows(bb, RT)
+                            )
+                elif zf_dep:
                     w12p2 = _kernel_w12p(plains2, GL) * vf
                     wxs2 = _kernel_wxs(plains2, GL)
                     RR = U.shape[0]  # (1+D)*(1+D)
@@ -1010,7 +1301,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                 else:
                     if NCH == 1:
                         W0n = _kernel_window(plains2, E, GL, D) * vf
-                for j in range(G):
+                for j in range(0 if pairmode else G):
                     cnt = count_ref[gg * G + j]
 
                     @pl.when(cnt == 0)
@@ -1067,7 +1358,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
         @pl.when(tot == 0)
         def _():
             out_ref[pb] = jnp.zeros((F, GL), jnp.float32)
-            flag_ref[pb] = jnp.zeros((G, cap), jnp.float32)
+            flag_ref[pb] = jnp.zeros((GB, cap), jnp.float32)
             if fused_p2g1:
                 dep_ref[pb] = jnp.zeros((G * RT, OW), jnp.float32)
 
@@ -1079,15 +1370,15 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
         num_scalar_prefetch=3,
         grid=(NG // PB,),
         in_specs=[
-            pl.BlockSpec((PB, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, F, GLW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PB, G * RT, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
-                (PB, F, G * cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (PB, F, GLW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (PB, G, cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (PB, GB, cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
         )
         + (
@@ -1100,12 +1391,12 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
             if fused_p2g1
             else ()
         ),
-        scratch_shapes=[pltpu.VMEM((NBP, G * cap), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NBP, GLW), jnp.float32)],
     )
 
     out_shape = (
-        jax.ShapeDtypeStruct((NG, F, G * cap), jnp.float32),
-        jax.ShapeDtypeStruct((NG, G, cap), jnp.float32),
+        jax.ShapeDtypeStruct((NG, F, GLW), jnp.float32),
+        jax.ShapeDtypeStruct((NG, GB, cap), jnp.float32),
     )
     if fused_p2g1:
         out_shape = out_shape + (
@@ -1720,24 +2011,86 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=No
     count_act = jnp.take(jnp.append(count_t, 0), jnp.clip(tid_act, 0, nt))
     count_act = jnp.minimum(count_act, cap)
 
+    D = len(tshape)
+    if _use_pair(spec, D):
+        # TILE PAIRING: re-order actives so blocks = adjacent pairs
+        # (2p, 2p+1) whose counts always fit one cap-lane slot block.
+        # Lossless rule: sort actives by count desc; "big" tiles
+        # (count > cap/2, rank < nb) go solo — each followed by a
+        # count-zero entry pulled from the sorted tail — and everything
+        # else pairs adjacently (two counts <= cap/2 always fit).  Shell
+        # and sentinel entries (count 0) pair at the tail, preserving the
+        # occupied-first tot==0 fast-path grouping.
+        # The src map below is a permutation for ANY nb: head [0, nb) solo
+        # bigs, tail (A-1-p for p < nb) their sentinels, middle [nb, A-nb)
+        # adjacent pairs.  Losslessness needs the tail sources to be
+        # count-zero (true whenever the active budget has >= nb spare
+        # zero-count entries — shells + unused); a too-tight budget can
+        # pair a big with a nonzero tile and clamp, which the sum(count)
+        # conservation check reports loudly, same as budget exhaustion.
+        order2 = jnp.argsort(-count_act)  # desc, stable
+        nb = (count_act > cap // 2).sum().astype(jnp.int32)
+        j_io = jnp.arange(A, dtype=jnp.int32)
+        src = jnp.where(
+            j_io < 2 * nb,
+            jnp.where(j_io % 2 == 0, j_io // 2, A - 1 - j_io // 2),
+            j_io - nb,
+        )
+        perm_a = jnp.take(order2, src)
+        tid_act = jnp.take(tid_act, perm_a)
+        count_act = jnp.take(count_act, perm_a)
+        # pair clamp: tile 2p+1 only keeps what fits after 2p.  A no-op for
+        # every lossless pairing (sums <= cap by construction); on budget
+        # exhaustion the stored counts stay consistent with the slots so
+        # sum(count) == placed particles and the loss is detectable.
+        c0r = count_act[0::2]
+        c1r = jnp.minimum(count_act[1::2], cap - c0r)
+        count_act = jnp.stack([c0r, c1r], axis=1).reshape(A)
+
     # slot fill via wide-chunk gathers over tile-sorted rows
     act_start = jnp.take(start[:-1], jnp.clip(tid_act, 0, nt))
     s_io = jnp.arange(cap, dtype=jnp.int32)
-    valid = s_io[None, :] < count_act[:, None]
     perm = order if row_idx is None else jnp.take(row_idx, order)
     srows = jnp.take(rows, perm, axis=0)  # [n, F] tile-sorted
-    # keep bidx MONOTONIC including pad slots (clip, never re-point): v5e
-    # row gathers from sequential addresses are ~3x cheaper, and rerouting
-    # invalid slots to row 0 measured 34% slower at 2d-100k (round 3)
-    bidx = act_start[:, None] + s_io[None, :]  # [A, cap], monotonic
-    slot_rows = jnp.take(
-        srows, jnp.clip(bidx, 0, n - 1).ravel(), axis=0
-    ).reshape(A, cap, F)
-    slot_rows = jnp.where(valid[..., None], slot_rows, 0.0)
-    stream = (
-        slot_rows.reshape(NG, G, cap, F).transpose(0, 3, 1, 2).reshape(NG, F, G * cap)
-    )
-    flag = jnp.zeros((NG, G, cap), jnp.float32)
+    if _use_pair(spec, D):
+        # pair slot block b: tile 2b front-packed at [0, c0), tile 2b+1 at
+        # [c0, c0+c1).  The gather is 2 sequential runs per block (run
+        # length ~ tile count) — near-sequential, which v5e row gathers
+        # like almost as much as fully monotonic.
+        c0 = count_act[0::2]
+        c1 = count_act[1::2]
+        in0 = s_io[None, :] < c0[:, None]
+        validp = s_io[None, :] < (c0 + c1)[:, None]
+        bidx = jnp.where(
+            in0,
+            act_start[0::2][:, None] + s_io[None, :],
+            act_start[1::2][:, None] + (s_io[None, :] - c0[:, None]),
+        )  # [A/2, cap]
+        slot_rows = jnp.take(
+            srows, jnp.clip(bidx, 0, n - 1).ravel(), axis=0
+        ).reshape(A // 2, cap, F)
+        slot_rows = jnp.where(validp[..., None], slot_rows, 0.0)
+        GP = G // 2
+        stream = (
+            slot_rows.reshape(NG, GP, cap, F)
+            .transpose(0, 3, 1, 2)
+            .reshape(NG, F, GP * cap)
+        )
+        flag = jnp.zeros((NG, GP, cap), jnp.float32)
+    else:
+        valid = s_io[None, :] < count_act[:, None]
+        # keep bidx MONOTONIC including pad slots (clip, never re-point): v5e
+        # row gathers from sequential addresses are ~3x cheaper, and rerouting
+        # invalid slots to row 0 measured 34% slower at 2d-100k (round 3)
+        bidx = act_start[:, None] + s_io[None, :]  # [A, cap], monotonic
+        slot_rows = jnp.take(
+            srows, jnp.clip(bidx, 0, n - 1).ravel(), axis=0
+        ).reshape(A, cap, F)
+        slot_rows = jnp.where(valid[..., None], slot_rows, 0.0)
+        stream = (
+            slot_rows.reshape(NG, G, cap, F).transpose(0, 3, 1, 2).reshape(NG, F, G * cap)
+        )
+        flag = jnp.zeros((NG, G, cap), jnp.float32)
     nbr = _nbr_table(tid_act, tshape, nt, A)
     return StreamState(
         stream=stream, count=count_act, tid=tid_act, flag=flag,
@@ -1767,51 +2120,75 @@ def bin_particles(p: ParticleState, domain: Domain, spec: StreamSpec, dt: float 
     return _bin_rows(rows, tid_p, n, spec, nt, tshape)
 
 
-def _slots_flat(st: StreamState, spec: StreamSpec):
-    """stream [NG, F, G*cap] -> (rows [A*cap, F], slot_valid [A*cap])."""
-    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
+def _stream_flat(st: StreamState, spec: StreamSpec, D: int):
+    """stream -> flat rows [nblocks*cap, F] in slot order (block-major)."""
+    cap, G, NG = spec.cap, spec.group, spec.NG
     F = st.stream.shape[1]
-    flat = (
-        st.stream.reshape(NG, F, G, cap).transpose(0, 2, 3, 1).reshape(A * cap, F)
+    GB = G // 2 if _use_pair(spec, D) else G  # slot blocks per group
+    return (
+        st.stream.reshape(NG, F, GB, cap)
+        .transpose(0, 2, 3, 1)
+        .reshape(NG * GB * cap, F)
     )
+
+
+def _slots_flat(st: StreamState, spec: StreamSpec, D: int = 3):
+    """stream -> (rows [nblocks*cap, F], slot_valid [nblocks*cap])."""
+    cap, A = spec.cap, spec.A
+    flat = _stream_flat(st, spec, D)
+    if _use_pair(spec, D):
+        blk_cnt = st.count[0::2] + st.count[1::2]  # live per slot block
+    else:
+        blk_cnt = st.count
+    ns = flat.shape[0]
     slot_valid = (
-        jnp.arange(A * cap, dtype=jnp.int32) % cap
-        < jnp.repeat(st.count, cap, total_repeat_length=A * cap)
+        jnp.arange(ns, dtype=jnp.int32) % cap
+        < jnp.repeat(blk_cnt, cap, total_repeat_length=ns)
     )
     return flat, slot_valid
 
 
-def _compact_src(count, n: int, cap: int, A: int):
+def _slot_base(count, cap: int, A: int, pair: bool):
+    """[A] flat slot index of each active tile's first particle."""
+    a = jnp.arange(A, dtype=jnp.int32)
+    if not pair:
+        return a * cap
+    prev = jnp.concatenate([jnp.zeros((1,), count.dtype), count[:-1]])
+    return (a // 2) * cap + (a % 2) * prev
+
+
+def _compact_src(count, n: int, cap: int, A: int, pair: bool = False):
     """[n] flat slot index of the i-th live particle (slot order).
 
     Tile of rank i = #{t: cum[t] <= i}: a one-hot histogram of the cumsum
     boundaries + prefix sum (3.5 ms at 1M on v5e; the searchsorted form
-    measured 17-28 ms)."""
+    measured 17-28 ms).  ``pair``: slot blocks hold tile pairs (2p, 2p+1)
+    front-packed consecutively."""
     cum = jnp.cumsum(count)
     b = jnp.zeros((n + 1,), jnp.int32).at[jnp.clip(cum, 0, n)].add(1, mode="drop")
     a = jnp.clip(jnp.cumsum(b)[:n], 0, A - 1)
     i = jnp.arange(n, dtype=jnp.int32)
     start = cum - count
-    return jnp.clip(a * cap + (i - jnp.take(start, a)), 0, A * cap - 1)
+    base = jnp.take(_slot_base(count, cap, A, pair), a)
+    nslot = (A // 2 if pair else A) * cap
+    return jnp.clip(base + (i - jnp.take(start, a)), 0, nslot - 1)
 
 
-def _compact_rows(st: StreamState, spec: StreamSpec, n: int):
+def _compact_rows(st: StreamState, spec: StreamSpec, n: int, D: int):
     """Valid slots -> dense rows [n, F] (slot order = tile-sorted order).
 
     Slots are front-packed per tile, so valid slot i of the run is tile
     ``a = searchsorted(cumsum(count), i)`` at slot ``i - start_a`` — one
-    [A]-prefix-sum + one n-row gather, never touching the (A*cap - n)
+    [A]-prefix-sum + one n-row gather, never touching the (slots - n)
     empty slots.  This is what keeps re-binning O(n) instead of O(slots)
     (at 3d-1m: 4M slots hold 1M particles; the slot-shaped re-bin measured
     282 ms, the compacted one ~80 ms)."""
-    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
-    F = st.stream.shape[1]
-    flat = (
-        st.stream.reshape(NG, F, G, cap).transpose(0, 2, 3, 1).reshape(A * cap, F)
-    )
+    cap, A = spec.cap, spec.A
+    flat = _stream_flat(st, spec, D)
     # i >= sum(count) (possible only if particles were lost, which strict
     # mode forbids) clips into the last tile's pad slots — zero rows.
-    return jnp.take(flat, _compact_src(st.count, n, cap, A), axis=0)
+    src = _compact_src(st.count, n, cap, A, _use_pair(spec, D))
+    return jnp.take(flat, src, axis=0)
 
 
 def unbin(st: StreamState, domain: Domain, spec: StreamSpec, n: int, D: int) -> ParticleState:
@@ -1819,7 +2196,7 @@ def unbin(st: StreamState, domain: Domain, spec: StreamSpec, n: int, D: int) -> 
 
     Gather-only and O(n): compact the valid slots to [n, F] rows, then one
     n-key argsort on the id row restores original order."""
-    rows = _compact_rows(st, spec, n)
+    rows = _compact_rows(st, spec, n, D)
     ids = rows[:, 2 * D + D * D + 1].astype(jnp.int32)
     order = jnp.argsort(ids)
     out = jnp.take(rows, order, axis=0)
@@ -2031,7 +2408,8 @@ def frame_binned(
     the real n for the O(n) compacted re-bin)."""
     tshape, origin, nt = _geom(domain, spec)
     n_sub = cfg.iterations if substeps is None else substeps
-    n_c = spec.A * spec.cap if n is None else n
+    nslots = (spec.A // 2 if _use_pair(spec, cfg.dim) else spec.A) * spec.cap
+    n_c = nslots if n is None else n
     dep1_k = make_deposit_kernel(spec, cfg.dim, tshape, origin, "p2g1")
 
     def body(_, carry):
@@ -2066,11 +2444,8 @@ def _rebin_full(st: StreamState, cfg, domain, spec: StreamSpec, tshape, nt, n: i
     (the strict-mode invariant sum(count) == n)."""
     D = cfg.dim
     cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
-    F = st.stream.shape[1]
-    flat = (
-        st.stream.reshape(NG, F, G, cap).transpose(0, 2, 3, 1).reshape(A * cap, F)
-    )
-    src = _compact_src(st.count, n, cap, A)
+    flat = _stream_flat(st, spec, D)
+    src = _compact_src(st.count, n, cap, A, _use_pair(spec, D))
     # keys computed ELEMENTWISE over all slots straight off the stream's
     # field rows (no transpose, no row gather), then one scalar take
     # through src — replaces a 1M-row take + keys (37.8 -> ~6 ms)

@@ -148,9 +148,16 @@ class Session:
         no un-bin — the only per-frame host transfer of an interactive
         session is this grid."""
         if self.backend == "stream":
+            from .ops import stream_transfer as stx
+
+            count = self._st.count
+            if stx._use_pair(self.spec, self.dim):
+                # pair mode: slot blocks hold two tiles front-packed, so the
+                # per-BLOCK live count drives the slot-validity mask
+                count = count[0::2] + count[1::2]
             return _stream_histogram(
                 self._st.stream,
-                self._st.count,
+                count,
                 self.spec.cap,
                 jnp.asarray(viewport_size, jnp.float32),
                 tuple(console_size),

@@ -93,6 +93,58 @@ def test_stream_frame_with_rebins_matches_dense(dim):
     )
 
 
+def test_stream_pair_matches_dense():
+    """PAIR mode (two tiles per slot block, one zfac dot per pair): bin
+    round-trip, one substep vs dense, and a re-binning frame vs dense."""
+    cfg, p, dom = _small_case(3, 256, seed=0)
+    import dataclasses as _dc
+
+    spec = _dc.replace(_spec(cfg, dom, 256, group=4), pair=True)
+    assert stx._use_pair(spec, 3)
+    mp, ma = step.no_mouse()
+
+    # bin/unbin round-trip: conservation + exact id-ordered reconstruction
+    st = stx.bin_particles(p, dom, spec, dt=cfg.dt)
+    assert int(st.count.sum()) == 256, "pairing lost particles at bin time"
+    # lossless pairing invariant: every slot block's two counts fit cap
+    c = np.asarray(st.count)
+    assert ((c[0::2] + c[1::2]) <= spec.cap).all()
+    q = stx.unbin(st, dom, spec, 256, 3)
+    np.testing.assert_allclose(np.asarray(q.pos), np.asarray(p.pos), atol=0)
+    np.testing.assert_allclose(np.asarray(q.vel), np.asarray(p.vel), atol=0)
+
+    a, ga = jax.jit(lambda r: step.substep(r, cfg, dom, mp, ma, backend="dense"))(p)
+    b, gb = jax.jit(lambda r: stx.substep(r, cfg, dom, mp, ma, spec))(p)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.density), np.asarray(b.density), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga.mass), np.asarray(gb.mass), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga.vel), np.asarray(gb.vel), atol=1e-4)
+
+    # fast-particle frame: drift re-bins go through the pair-aware
+    # _rebin_full / _compact_src path
+    cfg2, p2, dom2 = _small_case(3, 256, seed=1, vel_scale=4.0)
+    spec2 = _dc.replace(_spec(cfg2, dom2, 256, group=2), pair=True)
+    substeps = 6
+
+    @jax.jit
+    def run_dense(q):
+        def body(_, q):
+            return step.substep(q, cfg2, dom2, mp, ma)[0]
+
+        return jax.lax.fori_loop(0, substeps, body, q)
+
+    a2 = run_dense(p2)
+    b2 = stx.frame(p2, cfg2, dom2, mp, ma, spec2, substeps=substeps)
+    np.testing.assert_allclose(np.asarray(a2.pos), np.asarray(b2.pos), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a2.vel), np.asarray(b2.vel), atol=1e-3)
+    np.testing.assert_allclose(
+        float(np.asarray(b2.mass).sum()), float(np.asarray(p2.mass).sum()),
+        rtol=1e-6,
+    )
+
+
 def test_stream_rebin_triggers():
     cfg, p, dom = _small_case(3, 256, seed=2, vel_scale=8.0)
     spec = _spec(cfg, dom, 256)
