@@ -103,6 +103,23 @@ def _tiled_spec(cfg, dom, n, batch=None):
     return tt.TileSpec(tile=T, cap=cap, active=active, strict=True)
 
 
+# Tile-pairing mode for stream specs (fluid_tpu.ops.stream_transfer.StreamSpec
+# .pair).  Decided ONCE per bench process: main() verifies pair mode against
+# the dense backend ON THIS PLATFORM first and only then enables it, so an
+# unvalidated Mosaic lowering can never corrupt a recorded headline number.
+_PAIR = False
+
+
+def _maybe_pair(spec, dim):
+    from fluid_tpu.ops import stream_transfer as stx
+
+    if _PAIR:
+        cand = dataclasses.replace(spec, pair=True)
+        if stx._use_pair(cand, dim):
+            return cand
+    return spec
+
+
 def _stream_spec(cfg, dom, n, pos=None):
     import jax
     import jax.numpy as jnp
@@ -120,10 +137,13 @@ def _stream_spec(cfg, dom, n, pos=None):
     occupied = max(2048, int(n / max(per_tile, 1.0)) * 20)
     nt = math.prod(s // T for s in dom.shape)
     spec = stx.StreamSpec(
-        tile=T, cap=128, halo=2, group=8, active=min(occupied, nt, 110_000)
+        tile=T, cap=128, halo=2, group=8, active=min(occupied, nt, 110_000),
+        # CPU hosts (bench --platform cpu / driver smoke runs) can only run
+        # Pallas in interpreter mode
+        interpret=jax.default_backend() == "cpu",
     )
     if pos is None or spec.active >= nt:
-        return spec
+        return _maybe_pair(spec, cfg.dim)
     # MEASURED budget: at sparse packed scales the formula above is wildly
     # conservative (batch-64: 82k active for ~23k real — the all-zero tail
     # groups still cost a full block write per kernel pass, ~2.5x the whole
@@ -143,7 +163,7 @@ def _stream_spec(cfg, dom, n, pos=None):
         spec = dataclasses.replace(
             spec, active=max(2048, min(measured, nt, 110_000))
         )
-    return spec
+    return _maybe_pair(spec, cfg.dim)
 
 
 def _bench_frame(cfg, p, dom, frames, backend, batch=None):
@@ -277,7 +297,7 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None):
     return total / dt, per_frame
 
 
-def verify_on_device(dim=3, n=20_000, substeps=2):
+def verify_on_device(dim=3, n=20_000, substeps=2, pair=False):
     """Hardware equivalence artifact (VERDICT r2 #5): run stream vs dense at
     small N on the CURRENT platform (the TPU in real runs — every stream
     correctness test elsewhere runs in interpret mode on CPU) and report the
@@ -292,6 +312,9 @@ def verify_on_device(dim=3, n=20_000, substeps=2):
 
     cfg, p, dom = _make_scene(dim, n)
     spec = _stream_spec(cfg, dom, n)
+    if pair:
+        spec = dataclasses.replace(spec, pair=True)
+        assert stx._use_pair(spec, dim), "pair mode needs the 3D zfac spec"
     mp, ma = step.no_mouse()
 
     @jax.jit
@@ -348,19 +371,39 @@ def run_config(name, backend, quick, baselines):
 
     import jax
 
+    global _PAIR
     if backend == "auto":
         timed = {}
         for b in backends:
-            try:
-                pcopy = jax.tree.map(lambda a: a.copy(), p)
-                pps, spf = _bench_frame(cfg, pcopy, dom, max(2, frames // 2), b, batch)
-                timed[b] = (pps, spf)
-                print(f"# {name}/{b}: {pps:,.0f} pps", file=sys.stderr)
-            except Exception as e:  # noqa: BLE001
-                print(f"# {name}/{b} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            for _attempt in range(2):
+                try:
+                    pcopy = jax.tree.map(lambda a: a.copy(), p)
+                    pps, spf = _bench_frame(cfg, pcopy, dom, max(2, frames // 2), b, batch)
+                    timed[b] = (pps, spf)
+                    print(f"# {name}/{b}: {pps:,.0f} pps", file=sys.stderr)
+                    break
+                except Exception as e:  # noqa: BLE001
+                    if _PAIR and b == "stream":
+                        # a pair-mode failure at scale (e.g. conservation)
+                        # must never sink the bench: disable and re-run
+                        print(f"# {name}/{b} failed under pair mode — "
+                              f"disabling pair: {type(e).__name__}: {e}",
+                              file=sys.stderr)
+                        _PAIR = False
+                        continue
+                    print(f"# {name}/{b} failed: {type(e).__name__}: {e}", file=sys.stderr)
+                    break
         backend, (pps, spf) = max(timed.items(), key=lambda kv: kv[1][0])
     else:
-        pps, spf = _bench_frame(cfg, p, dom, frames, backend, batch)
+        try:
+            pps, spf = _bench_frame(cfg, p, dom, frames, backend, batch)
+        except Exception:
+            if not (_PAIR and backend == "stream"):
+                raise
+            print(f"# {name}/{backend} failed under pair mode — disabling pair",
+                  file=sys.stderr)
+            _PAIR = False
+            pps, spf = _bench_frame(cfg, p, dom, frames, backend, batch)
 
     base = baselines.get(bkey, {}).get("particle_steps_per_sec")
     vs = (pps / base) if base else 0.0
@@ -388,6 +431,11 @@ def main(argv=None):
         "--no-verify", action="store_true",
         help="skip the on-device stream-vs-dense equivalence stage",
     )
+    ap.add_argument(
+        "--pair", default="auto", choices=("auto", "on", "off"),
+        help="stream tile-pairing: auto = enable iff the on-device verify "
+        "stage passes with it (never trusts an unvalidated lowering)",
+    )
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -398,12 +446,24 @@ def main(argv=None):
     import jax
 
     baselines = _load_baseline()
+    global _PAIR
     verify = None
     if not args.no_verify:
         verify = verify_on_device(n=4_000 if args.quick else 20_000)
         print(f"# verify(stream-vs-dense, {jax.default_backend()}): "
               f"max|dpos|={verify['pos']:.2e} max|dvel|={verify['vel']:.2e}",
               file=sys.stderr)
+        if args.pair != "off":
+            try:
+                pv = verify_on_device(n=4_000 if args.quick else 20_000, pair=True)
+                _PAIR = True
+                verify = pv  # record the errors of the mode that will run
+                print(f"# pair mode ON (verified: max|dpos|={pv['pos']:.2e})",
+                      file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"# pair mode OFF ({type(e).__name__}: {e})", file=sys.stderr)
+    elif args.pair == "on":
+        _PAIR = True
     names = list(CONFIGS) if args.config == "all" else [args.config]
     results = [run_config(n, args.backend, args.quick, baselines) for n in names]
 
@@ -420,6 +480,7 @@ def main(argv=None):
     }
     if verify is not None:
         out["verify_max_abs_err"] = {"pos": verify["pos"], "vel": verify["vel"]}
+    out["pair"] = _PAIR
     print(json.dumps(out))
 
 

@@ -28,7 +28,9 @@ def _case(dim, n, seed):
         boundary_clip=(tuple(0.0 for _ in range(dim)), tuple(world for _ in range(dim))),
         grid_res=16 if dim == 2 else 12,
     )
-    dom = make_domain(cfg)
+    # tight halo: identical physics on ~2x fewer grid cells/tiles — the 3D
+    # interpret kernels scale with the tile count (suite budget)
+    dom = make_domain(cfg, halo_cells=4)
     k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
     pos = jax.random.uniform(k1, (n, dim), jnp.float32, world / 4, world * 3 / 4)
     p = ParticleState.create(pos)

@@ -22,13 +22,16 @@ from fluid_tpu.state import ParticleState
 
 
 def _case(n=384, seed=0, vel_scale=3.0):
+    # 24-unit world (not 32): interpret-mode execution scales with the tile
+    # count and this file dominates suite wall time; 24^3 keeps >= 2 slabs
+    # of >= 2 tiles on every mesh size tested
     cfg = default_3d().replace(
-        boundary_clip=((0.0,) * 3, (32.0,) * 3), grid_res=16
+        boundary_clip=((0.0,) * 3, (24.0,) * 3), grid_res=16
     )
     dom = make_domain(cfg, halo_cells=4)
     key = jax.random.key(seed)
     k1, k2, k3 = jax.random.split(key, 3)
-    pos = jax.random.uniform(k1, (n, 3), jnp.float32, 8.0, 24.0)
+    pos = jax.random.uniform(k1, (n, 3), jnp.float32, 6.0, 18.0)
     p = ParticleState.create(pos)
     p.vel = jax.random.normal(k2, p.vel.shape) * vel_scale
     p.C = jax.random.normal(k3, p.C.shape) * 0.05
@@ -48,8 +51,8 @@ def _dense(cfg, dom, p, substeps):
     return run(p)
 
 
-@pytest.mark.parametrize("s", [2, 4])
-def test_sharded_stream_matches_dense(s):
+@pytest.mark.parametrize("s", [4])  # s=2 is a strict subset of the s=4
+def test_sharded_stream_matches_dense(s):  # exchange paths (suite budget)
     cfg, p, dom = _case()
     n = p.n
     sspec = sh.default_shard_spec(cfg, dom, s, n)
