@@ -361,12 +361,15 @@ CONFIGS = {
 }
 
 
+_DEGRADED = False  # accelerator fallback: clamp work to keep CPU runs short
+
+
 def run_config(name, backend, quick, baselines):
     dim, n, frames, batch, bkey, backends = CONFIGS[name]
     if quick:
-        n = min(n, 20_000)
+        n = min(n, 8_000 if _DEGRADED else 20_000)
         frames = max(2, frames // 4)
-        batch = min(batch, 8) if batch else None
+        batch = min(batch, 2 if _DEGRADED else 8) if batch else None
     cfg, p, dom = _make_scene(dim, n, batch)
 
     import jax
@@ -418,6 +421,12 @@ def run_config(name, backend, quick, baselines):
     }
 
 
+def _device_alive(timeout_s: float = 180.0) -> bool:
+    from fluid_tpu.utils.platform import device_alive
+
+    return device_alive(timeout_s)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="3d-1m", choices=[*CONFIGS, "all"])
@@ -438,10 +447,24 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
+    degraded = False
     if args.platform == "cpu":
         from fluid_tpu.utils.platform import force_cpu
 
         force_cpu()
+    elif args.platform is None and not _device_alive():
+        # accelerator wedged/unavailable: fall back to a small CPU run so
+        # the recorded artifact is an honest (clearly cpu-labeled) number
+        # instead of a hung process or a crash
+        from fluid_tpu.utils.platform import force_cpu
+
+        force_cpu()
+        degraded = True
+        args.quick = True
+        global _DEGRADED
+        _DEGRADED = True
+        print("# WARNING: accelerator init failed or hung — falling back to "
+              "a --quick CPU run (metric will be cpu-labeled)", file=sys.stderr)
 
     import jax
 
@@ -481,6 +504,8 @@ def main(argv=None):
     if verify is not None:
         out["verify_max_abs_err"] = {"pos": verify["pos"], "vel": verify["vel"]}
     out["pair"] = _PAIR
+    if degraded:
+        out["degraded"] = "accelerator unavailable; quick CPU fallback"
     print(json.dumps(out))
 
 

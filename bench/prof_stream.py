@@ -39,7 +39,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="3d-1m")
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--pair", action="store_true", help="tile pairing")
     args = ap.parse_args()
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -51,11 +54,16 @@ def main():
     dim, n, frames, batch, bkey, backends = B.CONFIGS[args.config]
     cfg, p, dom = B._make_scene(dim, n, batch)
     spec = B._stream_spec(cfg, dom, n)
+    if args.pair:
+        spec = dataclasses.replace(spec, pair=True)
+        assert stx._use_pair(spec, dim)
     mp, ma = step.no_mouse()
     D = cfg.dim
     tshape, nt = stx._tile_geometry(dom, spec)
+    nslots = (spec.A // 2 if stx._use_pair(spec, D) else spec.A) * spec.cap
     print(f"config={args.config} n={n} nt={nt} A={spec.A} cap={spec.cap} "
-          f"E={spec.E} EP={spec.EP(D)} slots={spec.A*spec.cap}")
+          f"E={spec.E} EP={spec.EP(D)} pair={stx._use_pair(spec, D)} "
+          f"slots={nslots}")
 
     st = jax.jit(stx.bin_particles, static_argnums=(1, 2))(p, dom, spec)
     st = jax.block_until_ready(st)

@@ -230,6 +230,17 @@ def main(argv=None) -> None:
         from .utils.platform import force_cpu
 
         force_cpu()
+    else:
+        from .utils.platform import device_alive, force_cpu
+
+        if not device_alive():
+            # the axon tunnel can HANG inside backend init when the TPU is
+            # wedged; fall back to CPU instead of freezing the terminal app
+            print(
+                "warning: accelerator init failed or hung - using CPU",
+                file=sys.stderr,
+            )
+            force_cpu()
     run(
         dim=args.dim,
         n=args.particles,

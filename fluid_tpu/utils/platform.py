@@ -36,3 +36,27 @@ def has_tpu() -> bool:
         return any(d.platform != "cpu" for d in jax.devices())
     except RuntimeError:
         return False
+
+
+def device_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the default jax platform in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel's known failure modes include HANGING inside backend
+    init (not erroring), which turns any process that merely imports jax
+    and touches a device into a wedged process.  A subprocess with a kill
+    timeout is the only reliable way to bound that.  Returns True when the
+    default platform can run a trivial reduction end to end.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; x = jnp.ones((8, 128)); "
+             "print(float(x.sum()))"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
