@@ -32,9 +32,22 @@ MAXREB = 32  # stats rows (plenty for 3 frames at 2-3 re-bins each)
 
 
 def main():
+    import argparse
+    import dataclasses
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--margin", type=float, default=0.0,
+        help="graded flag margin in cells (spec.rebin_margin); reports the "
+        "at-risk (flag>=1) fraction a partial re-bin would move",
+    )
+    args = ap.parse_args()
+
     dim, n, frames, batch, bkey, backends = B.CONFIGS["3d-1m"]
     cfg, p, dom = B._make_scene(dim, n, batch)
     spec = B._stream_spec(cfg, dom, n)
+    if args.margin > 0.0:
+        spec = dataclasses.replace(spec, rebin_margin=args.margin)
     tshape, origin, nt = stx._geom(dom, spec)
     mp, ma = step.no_mouse()
 
@@ -42,19 +55,23 @@ def main():
     dep1_k = stx.make_deposit_kernel(spec, cfg.dim, tshape, origin, "p2g1")
 
     def stats(st, substep_i):
-        flagged = (st.flag > 0.0).sum()
-        tile_hit = (st.flag > 0.0).any(axis=2).reshape(-1)  # [A]
+        # flag >= 2 = true violators (the trigger); >= 1 adds the at-risk
+        # set within spec.rebin_margin cells of the window edge (the move
+        # set of a partial re-bin)
+        viol = (st.flag >= 2.0).sum()
+        flagged = (st.flag >= 1.0).sum()
+        tile_hit = (st.flag >= 1.0).any(axis=2).reshape(-1)  # [A]
         in_hit = jnp.where(tile_hit, st.count, 0).sum()
         live = st.count.sum()
         occ = (st.count > 0).sum()
         hocc = (tile_hit & (st.count > 0)).sum()
         return jnp.stack(
-            [substep_i, flagged, in_hit, live, occ, hocc]
+            [substep_i, viol, flagged, in_hit, live, occ, hocc]
         ).astype(jnp.int32)
 
     @jax.jit
     def run(st):
-        buf = jnp.zeros((MAXREB, 6), jnp.int32)
+        buf = jnp.zeros((MAXREB, 7), jnp.int32)
         dep1 = dep1_k(st.count, st.tid, st.stream)
 
         def body(i, carry):
@@ -84,9 +101,10 @@ def main():
     buf, k, live = jax.block_until_ready(run(st0))
     buf = np.asarray(buf)
     for row in buf[: int(k)]:
-        s, f, ih, lv, occ, hocc = (int(x) for x in row)
+        s, v, f, ih, lv, occ, hocc = (int(x) for x in row)
         print(
-            f"substep {s:3d}: flagged {f:7d} ({100*f/lv:5.2f}%)"
+            f"substep {s:3d}: viol {v:6d} ({100*v/lv:5.3f}%)"
+            f"  at-risk {f:7d} ({100*f/lv:5.2f}%)"
             f"  in-flagged-tiles {ih:7d} ({100*ih/lv:5.2f}%)"
             f"  tiles {hocc}/{occ}"
         )

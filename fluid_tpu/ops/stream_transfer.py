@@ -108,6 +108,15 @@ class StreamSpec:
     # half the stream slots (bin/re-bin gathers, collect writes).  See
     # _bin_rows for the pairing rule.
     pair: bool = False
+    # GRADED drift flag margin, in cells.  0.0 = binary flag (today's
+    # behavior).  m > 0 makes the collect kernel emit 2.0 for true drift
+    # violations (next deposit outside [1-h, T-2+h] — the re-bin TRIGGER)
+    # and 1.0 for "at-risk" slots within m cells of the window edge.  A
+    # partial re-bin that moves only flag>=1 slots keeps the trigger rate
+    # of the full policy (violator-only re-keys measure 10x trigger
+    # inflation; graded(0.5) matches full at ~1.5% moved —
+    # bench/emu_rebin_policy.py).
+    rebin_margin: float = 0.0
 
     def __post_init__(self):
         if self.cap % 128:
@@ -1227,16 +1236,25 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
             mass = pm[2 * D + D * D, :]
             pid = pm[2 * D + D * D + 1, :]
 
-            # drift flag: 1.0 where the NEW cell leaves the drift window
+            # drift flag: 2.0 where the NEW cell leaves the drift window
             # [1-h, T-2+h] — the next substep's deposits would fall outside
             # the bin tile's expanded window, so the frame must re-bin
+            # (needs_rebin triggers on flag >= 2).  With rebin_margin m > 0
+            # also emit 1.0 for at-risk slots within m cells of the window
+            # edge — the move set of a partial re-bin (see StreamSpec).
             flag = jnp.zeros((GL,), jnp.float32)
+            margin = spec.rebin_margin
             for d in range(D):
                 cn = jnp.floor(newpos[d]).astype(jnp.int32)
                 coord = _tile_coord(tid_l, d, tshape)
-                lcn = cn - (origin[d] + coord * T)
+                base = origin[d] + coord * T
+                lcn = cn - base
                 bad = (lcn < 1 - h) | (lcn > T - 2 + h)
-                flag = jnp.maximum(flag, bad.astype(jnp.float32))
+                flag = jnp.maximum(flag, 2.0 * bad.astype(jnp.float32))
+                if margin > 0.0:
+                    lx = newpos[d] - base.astype(jnp.float32)
+                    risk = (lx < 1 - h + margin) | (lx >= T - 1 + h - margin)
+                    flag = jnp.maximum(flag, risk.astype(jnp.float32))
 
             rows = newpos + v + newC + [mass, pid, rho, pressure]
             out = _rows_stack(rows, GL)
@@ -2386,9 +2404,10 @@ def needs_rebin(st: StreamState, domain: Domain, spec: StreamSpec, D: int) -> jn
     bin tile's drift window (local cell outside [1-h, T-2+h]).
 
     The collect kernel writes per-slot verdicts into the contiguous flag
-    output (invalid slots zeroed), so this is one cheap reduce; a freshly
+    output (invalid slots zeroed; 2.0 = violation, 1.0 = at-risk under a
+    graded spec.rebin_margin), so this is one cheap reduce; a freshly
     (re-)binned stream carries a cleared flag."""
-    return jnp.any(st.flag > 0.0)
+    return jnp.any(st.flag >= 2.0)
 
 
 def frame_binned(
