@@ -21,9 +21,9 @@ from fluid_tpu.state import ParticleState
 
 def _case(dim, n, seed):
     base = default_2d() if dim == 2 else default_3d()
-    # 3D interpret-mode kernels cost ~tiles x stages: the 24-unit box keeps
-    # the suite fast (130 -> ~35 s) with identical kernel coverage
-    world = 32.0 if dim == 2 else 24.0
+    # interpret-mode kernels cost ~tiles x stages: small boxes keep the
+    # suite fast (3D: 130 -> ~35 -> ~15 s) with identical kernel coverage
+    world = 24.0 if dim == 2 else 16.0
     cfg = base.replace(
         boundary_clip=(tuple(0.0 for _ in range(dim)), tuple(world for _ in range(dim))),
         grid_res=16 if dim == 2 else 12,
@@ -57,7 +57,7 @@ def test_pallas_matches_dense(dim):
 def test_pallas_with_mouse():
     cfg, p, dom = _case(2, 256, seed=1)
     spec = tt.TileSpec(tile=4, cap=64)
-    mp, ma = step.mouse((16.0, 16.0))
+    mp, ma = step.mouse((12.0, 12.0))
     a, _ = step.substep(p, cfg, dom, mp, ma, backend="dense")
     b, _ = pt.substep(p, cfg, dom, mp, ma, spec, interpret=True)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)

@@ -28,7 +28,10 @@ def _small_case(dim, n, seed, vel_scale=0.4, world=24.0):
     dom = make_domain(cfg, halo_cells=4)
     key = jax.random.key(seed)
     k1, k2, k3 = jax.random.split(key, 3)
-    pos = jax.random.uniform(k1, (n, dim), jnp.float32, 6.0, world - 8.0)
+    # spread scales with world (== the old (6, world-8) at the default 24);
+    # world=16 cases exist because interpret trace cost scales with the
+    # domain's tile count and this file dominates suite wall time
+    pos = jax.random.uniform(k1, (n, dim), jnp.float32, world / 4, world - world / 3)
     p = ParticleState.create(pos)
     p.vel = jax.random.normal(k2, p.vel.shape) * vel_scale
     p.C = jax.random.normal(k3, p.C.shape) * 0.05
@@ -52,7 +55,7 @@ def _spec(cfg, dom, n, active=None, group=2):
 
 @pytest.mark.parametrize("dim", [2, 3])
 def test_stream_matches_dense_one_substep(dim):
-    cfg, p, dom = _small_case(dim, 256, seed=0)
+    cfg, p, dom = _small_case(dim, 256, seed=0, world=16.0)
     # 3D keeps the production group=8 (see _spec)
     spec = _spec(cfg, dom, 256, group=8 if dim == 3 else 2)
     assert int(stx.overflow_count(p.pos, dom, spec)) == 0
@@ -70,7 +73,7 @@ def test_stream_matches_dense_one_substep(dim):
 @pytest.mark.parametrize("dim", [2, 3])
 def test_stream_frame_with_rebins_matches_dense(dim):
     # fast particles force drift-triggered re-bins within a few substeps
-    cfg, p, dom = _small_case(dim, 256, seed=1, vel_scale=4.0)
+    cfg, p, dom = _small_case(dim, 256, seed=1, vel_scale=4.0, world=16.0)
     spec = _spec(cfg, dom, 256)
     mp, ma = step.no_mouse()
     substeps = 8
@@ -96,7 +99,7 @@ def test_stream_frame_with_rebins_matches_dense(dim):
 def test_stream_pair_matches_dense():
     """PAIR mode (two tiles per slot block, one zfac dot per pair): bin
     round-trip, one substep vs dense, and a re-binning frame vs dense."""
-    cfg, p, dom = _small_case(3, 256, seed=0)
+    cfg, p, dom = _small_case(3, 256, seed=0, world=16.0)
     import dataclasses as _dc
 
     spec = _dc.replace(_spec(cfg, dom, 256, group=4), pair=True)
@@ -124,7 +127,7 @@ def test_stream_pair_matches_dense():
 
     # fast-particle frame: drift re-bins go through the pair-aware
     # _rebin_full / _compact_src path
-    cfg2, p2, dom2 = _small_case(3, 256, seed=1, vel_scale=4.0)
+    cfg2, p2, dom2 = _small_case(3, 256, seed=1, vel_scale=4.0, world=16.0)
     spec2 = _dc.replace(_spec(cfg2, dom2, 256, group=2), pair=True)
     substeps = 6
 
@@ -146,7 +149,7 @@ def test_stream_pair_matches_dense():
 
 
 def test_stream_rebin_triggers():
-    cfg, p, dom = _small_case(3, 256, seed=2, vel_scale=8.0)
+    cfg, p, dom = _small_case(3, 256, seed=2, vel_scale=8.0, world=16.0)
     spec = _spec(cfg, dom, 256)
     st = stx.bin_particles(p, dom, spec)
     mp, ma = step.no_mouse()
@@ -159,10 +162,63 @@ def test_stream_rebin_triggers():
     assert fired, "drift check never fired with fast particles"
 
 
+def test_graded_flag_matches_numpy_predicate():
+    """rebin_margin > 0: the collect kernel's graded flag must (a) leave the
+    physics bit-identical to margin=0, (b) emit flag>=2 exactly on the old
+    binary violation set, and (c) emit flag>=1 exactly on the numpy at-risk
+    predicate (float local coord within margin of the drift window edge)."""
+    import dataclasses as _dc
+
+    cfg, p, dom = _small_case(2, 192, seed=4, vel_scale=2.0, world=16.0)
+    spec0 = _spec(cfg, dom, 192)
+    specm = _dc.replace(spec0, rebin_margin=0.5)
+    mp, ma = step.no_mouse()
+
+    st0 = stx.bin_particles(p, dom, spec0, dt=cfg.dt)
+    a = stx.substep_binned(st0, cfg, dom, spec0, mp, ma)
+    b = stx.substep_binned(st0, cfg, dom, specm, mp, ma)
+
+    np.testing.assert_array_equal(np.asarray(a.stream), np.asarray(b.stream))
+    fa = np.asarray(a.flag)
+    fb = np.asarray(b.flag)
+    assert set(np.unique(fb)) <= {0.0, 1.0, 2.0}
+    np.testing.assert_array_equal(fa > 0.0, fb >= 2.0)
+
+    # numpy at-risk predicate per valid slot, from the post-substep stream
+    T, h, m = spec0.tile, spec0.halo, specm.rebin_margin
+    cap, G = spec0.cap, spec0.group
+    tshape, origin, nt = stx._geom(dom, spec0)
+    stream = np.asarray(b.stream)  # [NG, F, G*cap]
+    count = np.asarray(b.count).reshape(-1)
+    tid = np.asarray(b.tid).reshape(-1)
+    NG = stream.shape[0]
+    for ng in range(NG):
+        for g in range(G):
+            t = ng * G + g
+            coords = [
+                (tid[t] // int(np.prod(tshape[d + 1 :]))) % tshape[d]
+                for d in range(2)
+            ]
+            for s in range(count[t]):
+                lane = g * cap + s
+                want = 0.0
+                for d in range(2):
+                    base = origin[d] + coords[d] * T
+                    x = stream[ng, d, lane]
+                    lcn = int(np.floor(x)) - base
+                    if lcn < 1 - h or lcn > T - 2 + h:
+                        want = 2.0
+                    lx = x - base
+                    if want < 2.0 and (lx < 1 - h + m or lx >= T - 1 + h - m):
+                        want = max(want, 1.0)
+                got = fb[ng, g, s]
+                assert got == want, (t, s, got, want)
+
+
 def test_stream_mouse_matches_dense():
-    cfg, p, dom = _small_case(2, 192, seed=3)
+    cfg, p, dom = _small_case(2, 192, seed=3, world=16.0)
     spec = _spec(cfg, dom, 192)
-    mp, ma = step.mouse((16.0, 16.0))
+    mp, ma = step.mouse((8.0, 8.0))
     a, _ = jax.jit(lambda q: step.substep(q, cfg, dom, mp, ma, backend="dense"))(p)
     b, _ = jax.jit(lambda q: stx.substep(q, cfg, dom, mp, ma, spec))(p)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
@@ -178,11 +234,11 @@ def test_packed_scenes_match_per_scene_dense():
     from fluid_tpu.config import default_3d
 
     cfg = default_3d().replace(
-        boundary_clip=((0.0,) * 3, (24.0,) * 3), grid_res=12
+        boundary_clip=((0.0,) * 3, (16.0,) * 3), grid_res=12
     )
     B, n = 2, 96
     key = jax.random.key(5)
-    pos = jax.random.uniform(key, (B, n, 3), jnp.float32, 6.0, 18.0)
+    pos = jax.random.uniform(key, (B, n, 3), jnp.float32, 4.0, 12.0)
     pb = jax.vmap(ParticleState.create)(pos)
     vel = jax.random.normal(jax.random.key(6), pb.vel.shape) * 2.0
     import dataclasses as _dc
@@ -248,8 +304,8 @@ def test_halo_gblk_kernel_matches_xla_update_path():
     """The fused last-halo-pass + grid-update kernel (_make_halo_gblk) is
     TPU-only in _substep_core; run it in interpret mode and check it against
     the halo3 + XLA grid-update build the CPU branch uses (ADVICE r2)."""
-    cfg, p, dom = _small_case(3, 512, seed=7)
-    spec = _spec(cfg, dom, 512)
+    cfg, p, dom = _small_case(3, 384, seed=7, world=16.0)
+    spec = _spec(cfg, dom, 384)
     st = stx.bin_particles(p, dom, spec)
     D = 3
     A, E3 = spec.A, spec.E**3
@@ -290,8 +346,8 @@ def test_halo_dma_gating_matches_ungated():
     blocks routed to the A sentinel) is exact: on blocks that are zero
     wherever count == 0 — the deposit-kernel invariant — the gated axis
     passes are bit-identical to the ungated ones."""
-    cfg, p, dom = _small_case(3, 512, seed=5)
-    spec = _spec(cfg, dom, 512)
+    cfg, p, dom = _small_case(3, 384, seed=5, world=16.0)
+    spec = _spec(cfg, dom, 384)
     st = stx.bin_particles(p, dom, spec)
     D, A = 3, spec.A
     S1 = spec.E**3 // 128
@@ -316,7 +372,7 @@ def test_stream_flat3d_big_tile_matches_dense():
     so _use_r3 is False and the substep takes the EP-lane-padded branch (the
     layout of the big-tile contraction plan, BASELINE.md round 3).  One
     substep plus a short frame with re-bins, vs dense."""
-    cfg, p, dom = _small_case(3, 256, seed=4)
+    cfg, p, dom = _small_case(3, 256, seed=4, world=16.0)
     import math as _m
 
     nt = _m.prod(s // 8 for s in dom.shape)
@@ -339,7 +395,7 @@ def test_stream_flat3d_big_tile_matches_dense():
     np.testing.assert_allclose(np.asarray(ga.mass), np.asarray(gb.mass), atol=1e-4)
 
     # short frame with drift-triggered re-bins at the big-tile geometry
-    cfg2, p2, dom2 = _small_case(3, 256, seed=6, vel_scale=4.0)
+    cfg2, p2, dom2 = _small_case(3, 256, seed=6, vel_scale=4.0, world=16.0)
     a2 = p2
 
     @jax.jit
@@ -358,8 +414,8 @@ def test_stream_flat3d_big_tile_matches_dense():
 def test_halo3_kernel_matches_gather_form():
     """The Pallas separable halo (interpret) is bit-identical to the XLA
     gather form it replaces on TPU (stream_transfer.halo3)."""
-    cfg, p, dom = _small_case(3, 512, seed=3)
-    spec = _spec(cfg, dom, 512)
+    cfg, p, dom = _small_case(3, 384, seed=3, world=16.0)
+    spec = _spec(cfg, dom, 384)
     st = stx.bin_particles(p, dom, spec)
     A = spec.A
     E3 = spec.E ** 3

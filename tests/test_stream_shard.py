@@ -21,17 +21,19 @@ from fluid_tpu.parallel import stream_shard as sh
 from fluid_tpu.state import ParticleState
 
 
-def _case(n=384, seed=0, vel_scale=3.0):
+def _case(n=384, seed=0, vel_scale=3.0, world=24.0):
     # 24-unit world (not 32): interpret-mode execution scales with the tile
     # count and this file dominates suite wall time; 24^3 keeps >= 2 slabs
-    # of >= 2 tiles on every mesh size tested
+    # of >= 2 tiles on every mesh size tested.  The s=2 migration test uses
+    # world=16 (two 3-tile slabs) — interpret trace cost scales with the
+    # local tile count and that test alone was ~20% of suite wall time.
     cfg = default_3d().replace(
-        boundary_clip=((0.0,) * 3, (24.0,) * 3), grid_res=16
+        boundary_clip=((0.0,) * 3, (world,) * 3), grid_res=16
     )
     dom = make_domain(cfg, halo_cells=4)
     key = jax.random.key(seed)
     k1, k2, k3 = jax.random.split(key, 3)
-    pos = jax.random.uniform(k1, (n, 3), jnp.float32, 6.0, 18.0)
+    pos = jax.random.uniform(k1, (n, 3), jnp.float32, world / 4, world - world / 4)
     p = ParticleState.create(pos)
     p.vel = jax.random.normal(k2, p.vel.shape) * vel_scale
     p.C = jax.random.normal(k3, p.C.shape) * 0.05
@@ -69,7 +71,7 @@ def test_sharded_stream_matches_dense(s):  # exchange paths (suite budget)
 
 def test_sharded_migration_moves_particles():
     """Particles seeded moving +x must change owners across a frame."""
-    cfg, p, dom = _case(n=256, seed=1, vel_scale=0.0)
+    cfg, p, dom = _case(n=256, seed=1, vel_scale=0.0, world=16.0)
     import dataclasses
 
     vel = jnp.zeros_like(p.vel).at[:, 0].set(6.0)
