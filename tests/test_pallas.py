@@ -39,6 +39,10 @@ def _case(dim, n, seed):
     return cfg, p, dom
 
 
+# slow: the pallas (round-1) backend is an oracle, not a hot path; its
+# frame-level equivalence stays covered by test_backends.py::
+# test_fused_backend_through_step_frame[pallas] (VERDICT r2 #7/#9).
+@pytest.mark.slow
 @pytest.mark.parametrize("dim", [2, 3])
 def test_pallas_matches_dense(dim):
     cfg, p, dom = _case(dim, 384, seed=0)
@@ -54,6 +58,7 @@ def test_pallas_matches_dense(dim):
     np.testing.assert_allclose(np.asarray(ga.mass), np.asarray(gb.mass), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_with_mouse():
     cfg, p, dom = _case(2, 256, seed=1)
     spec = tt.TileSpec(tile=4, cap=64)
@@ -63,6 +68,7 @@ def test_pallas_with_mouse():
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_multi_substep():
     cfg, p, dom = _case(2, 384, seed=2)
     spec = tt.TileSpec(tile=4, cap=96)

@@ -148,6 +148,9 @@ def test_stream_pair_matches_dense():
     )
 
 
+# slow: trigger firing is a precondition of the frame-with-rebins
+# equivalence tests matching dense; this only checks it in isolation.
+@pytest.mark.slow
 def test_stream_rebin_triggers():
     cfg, p, dom = _small_case(3, 256, seed=2, vel_scale=8.0, world=16.0)
     spec = _spec(cfg, dom, 256)
@@ -341,6 +344,9 @@ def test_halo_gblk_kernel_matches_xla_update_path():
     )
 
 
+# slow: bit-exactness A/B on random data; a gating bug that dropped a
+# live neighbor would also fail every stream-vs-dense equivalence test.
+@pytest.mark.slow
 def test_halo_dma_gating_matches_ungated():
     """_substep_core's halo DMA source gating (neighbors with still-zero
     blocks routed to the A sentinel) is exact: on blocks that are zero

@@ -33,7 +33,11 @@ def _small_case(dim, n, seed):
     return cfg, p, dom
 
 
-@pytest.mark.parametrize("dim", [2, 3])
+# 3D is slow-marked: the 3D interpret trace dominates this file; 2D plus
+# the fused-frame dispatch test keep the tiled backend covered by default.
+@pytest.mark.parametrize(
+    "dim", [2, pytest.param(3, marks=pytest.mark.slow)]
+)
 def test_tiled_matches_dense_one_substep(dim):
     cfg, p, dom = _small_case(dim, 384, seed=0)
     spec = tt.TileSpec(tile=4, cap=64)

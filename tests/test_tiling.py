@@ -76,6 +76,9 @@ def test_assemble_extract_adjoint():
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
 
 
+# slow: tiled-backend internals; the end-to-end tiled path stays covered
+# by test_tiled (2D) and test_backends fused-frame dispatch.
+@pytest.mark.slow
 def test_halo_sum_matches_assemble_extract():
     # halo_sum + edge_mask must equal the dense round trip: for every tile
     # block, extract(assemble(blocks)) == edge_mask * halo_sum(blocks).
