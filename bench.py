@@ -508,9 +508,10 @@ def main(argv=None):
         "stage passes with it (never trusts an unvalidated lowering)",
     )
     ap.add_argument(
-        "--big", default="auto", choices=("auto", "off"),
-        help="race the T=8 big-tile stream spec at 3d-1m: auto = race iff "
-        "its own on-device verify stage passes",
+        "--big", default="off", choices=("auto", "on", "off"),
+        help="race the T=8 big-tile stream spec at 3d-1m (measured r3: "
+        "130.8 ms/substep vs paired T=4's 36.6 — a 3.6x loss, so the race "
+        "is off by default; auto/on = race iff its on-device verify passes)",
     )
     args = ap.parse_args(argv)
 

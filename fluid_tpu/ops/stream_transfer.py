@@ -280,12 +280,15 @@ def _window_chunk(plains, vf, lo: int, wc: int, E: int, D: int):
     Equivalent to ``(_kernel_window(plains, ...) * vf)[:, lo:lo+wc]`` without
     ever materializing the full-GL window."""
     sl = slice(lo, lo + wc)
-    w01 = (plains[0][:, sl][:, None, :] * plains[1][None, :, sl]).reshape(
+    # NB: slice FIRST, newaxis AFTER — ``plains[d][None, :, sl]`` (newaxis
+    # mixed into the index tuple) traces as a GATHER, which Mosaic's
+    # _gather_lowering_rule rejects on hardware (interpret mode hides it).
+    w01 = (plains[0][:, sl][:, None, :] * plains[1][:, sl][None, :, :]).reshape(
         E * E, wc
     )
     if D == 2:
         return w01 if vf is None else w01 * vf[:, sl]
-    w = (w01[:, None, :] * plains[2][None, :, sl]).reshape(E**3, wc)
+    w = (w01[:, None, :] * plains[2][:, sl][None, :, :]).reshape(E**3, wc)
     return w if vf is None else w * vf[:, sl]
 
 
