@@ -483,7 +483,7 @@ def run_config(name, backend, quick, baselines):
     }
 
 
-def _device_alive(timeout_s: float = 180.0) -> bool:
+def _device_alive(timeout_s: float = 480.0) -> bool:
     from fluid_tpu.utils.platform import device_alive
 
     return device_alive(timeout_s)

@@ -37,12 +37,23 @@ def timeit(fn, *args, reps=20):
 
 
 def main():
+    import argparse
+    import dataclasses
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pair", action="store_true", help="tile pairing spec")
+    args = ap.parse_args()
+
     dim, n, frames, batch, bkey, backends = B.CONFIGS["3d-1m"]
     cfg, p, dom = B._make_scene(dim, n, batch)
     spec = B._stream_spec(cfg, dom, n)
+    if args.pair:
+        spec = dataclasses.replace(spec, pair=True)
+        assert stx._use_pair(spec, dim)
     tshape, origin, nt = stx._geom(dom, spec)
     D, cap, G, A, NG = 3, spec.cap, spec.group, spec.A, spec.NG
-    print(f"n={n} nt={nt} A={A} cap={cap}")
+    pair = stx._use_pair(spec, dim)
+    print(f"n={n} nt={nt} A={A} cap={cap} pair={pair}")
 
     st = jax.block_until_ready(stx.bin_particles(p, dom, spec, dt=cfg.dt))
     # advance 10 substeps for a realistic drifted state
@@ -64,15 +75,14 @@ def main():
 
     # --- stages --------------------------------------------------------------
     def flatten(st):
-        return (
-            st.stream.reshape(NG, F, G, cap).transpose(0, 2, 3, 1).reshape(A * cap, F)
-        )
+        return stx._stream_flat(st, spec, D)
 
     flat = jax.block_until_ready(jax.jit(flatten)(st))
-    print(f"  flatten stream:   {timeit(jax.jit(flatten), st)*1e3:8.2f} ms")
+    nslot = flat.shape[0]
+    print(f"  flatten stream:   {timeit(jax.jit(flatten), st)*1e3:8.2f} ms  ({nslot//1000}k slots)")
 
     def keys(st):
-        src = stx._compact_src(st.count, n, cap, A)
+        src = stx._compact_src(st.count, n, cap, A, pair)
         pos_rows = jnp.stack(
             [st.stream[:, d, :].reshape(-1) for d in range(D)], axis=-1
         )
@@ -136,25 +146,56 @@ def main():
         jnp.clip(tid_act, 0, nt),
     )
 
-    def g2(srows, act_start, count_act):
-        s_io = jnp.arange(cap, dtype=jnp.int32)
-        valid = s_io[None, :] < count_act[:, None]
-        bidx = act_start[:, None] + s_io[None, :]
-        slot_rows = jnp.take(
-            srows, jnp.clip(bidx, 0, n - 1).ravel(), axis=0
-        ).reshape(A, cap, F)
-        return jnp.where(valid[..., None], slot_rows, 0.0)
+    if pair:
+        def g2p(srows, act_start, count_act):
+            s_io = jnp.arange(cap, dtype=jnp.int32)
+            c0 = count_act[0::2]
+            c1 = count_act[1::2]
+            in0 = s_io[None, :] < c0[:, None]
+            validp = s_io[None, :] < (c0 + c1)[:, None]
+            bidx = jnp.where(
+                in0,
+                act_start[0::2][:, None] + s_io[None, :],
+                act_start[1::2][:, None] + (s_io[None, :] - c0[:, None]),
+            )
+            slot_rows = jnp.take(
+                srows, jnp.clip(bidx, 0, n - 1).ravel(), axis=0
+            ).reshape(A // 2, cap, F)
+            return jnp.where(validp[..., None], slot_rows, 0.0)
 
-    g2j = jax.jit(g2)
-    slot_rows = jax.block_until_ready(g2j(srows, act_start, count_act))
-    print(f"  gather2 [{A*cap//1000}k,{F}]:{timeit(g2j, srows, act_start, count_act)*1e3:8.2f} ms  (slot fill)")
+        g2j = jax.jit(g2p)
+        slot_rows = jax.block_until_ready(g2j(srows, act_start, count_act))
+        print(f"  gather2 [{A//2*cap//1000}k,{F}]:{timeit(g2j, srows, act_start, count_act)*1e3:8.2f} ms  (pair slot fill)")
 
-    def to_stream(slot_rows):
-        return (
-            slot_rows.reshape(NG, G, cap, F).transpose(0, 3, 1, 2).reshape(NG, F, G * cap)
-        )
+        def to_stream(slot_rows):
+            GP = G // 2
+            return (
+                slot_rows.reshape(NG, GP, cap, F)
+                .transpose(0, 3, 1, 2)
+                .reshape(NG, F, GP * cap)
+            )
 
-    print(f"  transpose:        {timeit(jax.jit(to_stream), slot_rows)*1e3:8.2f} ms")
+        print(f"  transpose:        {timeit(jax.jit(to_stream), slot_rows)*1e3:8.2f} ms")
+    else:
+        def g2(srows, act_start, count_act):
+            s_io = jnp.arange(cap, dtype=jnp.int32)
+            valid = s_io[None, :] < count_act[:, None]
+            bidx = act_start[:, None] + s_io[None, :]
+            slot_rows = jnp.take(
+                srows, jnp.clip(bidx, 0, n - 1).ravel(), axis=0
+            ).reshape(A, cap, F)
+            return jnp.where(valid[..., None], slot_rows, 0.0)
+
+        g2j = jax.jit(g2)
+        slot_rows = jax.block_until_ready(g2j(srows, act_start, count_act))
+        print(f"  gather2 [{A*cap//1000}k,{F}]:{timeit(g2j, srows, act_start, count_act)*1e3:8.2f} ms  (slot fill)")
+
+        def to_stream(slot_rows):
+            return (
+                slot_rows.reshape(NG, G, cap, F).transpose(0, 3, 1, 2).reshape(NG, F, G * cap)
+            )
+
+        print(f"  transpose:        {timeit(jax.jit(to_stream), slot_rows)*1e3:8.2f} ms")
 
     nbrj = jax.jit(lambda t: stx._nbr_table(t, tshape, nt, A))
     print(f"  nbr table:        {timeit(nbrj, tid_act)*1e3:8.2f} ms")

@@ -38,7 +38,7 @@ def has_tpu() -> bool:
         return False
 
 
-def device_alive(timeout_s: float = 180.0) -> bool:
+def device_alive(timeout_s: float = 480.0) -> bool:
     """Probe the default jax platform in a SUBPROCESS with a hard timeout.
 
     The axon tunnel's known failure modes include HANGING inside backend
