@@ -28,6 +28,9 @@ from fluid_tpu.ops import stream_transfer as stx
 
 def timeit(fn, *args, reps=20):
     out = jax.block_until_ready(fn(*args))
+    # value-fetch BEFORE the timed loop: a faulted device makes
+    # block_until_ready return garbage timings silently (CLAUDE.md)
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
