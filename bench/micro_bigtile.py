@@ -76,7 +76,7 @@ def main():
         tid = stx._keys_from_pos(pos, dom, probe, tshape)
         cnt = jnp.zeros((nt,), jnp.int32).at[tid].add(1)
         occ = cnt > 0
-        dil = stx._dilate(occ, tshape)
+        dil = stx._active_set(occ, tshape)
         return occ.sum(), dil.sum(), cnt.max()
 
     o, d, peak = (int(x) for x in occ_stats(p.pos))

@@ -116,7 +116,7 @@ def main():
 
     def occwork(count_t):
         occ_p = count_t > 0
-        occ = stx._dilate(occ_p, tshape)
+        occ = stx._active_set(occ_p, tshape)
         shell = occ & ~occ_p
         n_occ = occ_p.sum().astype(jnp.int32)
         rank_p = jnp.cumsum(occ_p.astype(jnp.int32)) - 1

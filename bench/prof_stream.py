@@ -53,7 +53,16 @@ def main():
 
     dim, n, frames, batch, bkey, backends = B.CONFIGS[args.config]
     cfg, p, dom = B._make_scene(dim, n, batch)
-    spec = B._stream_spec(cfg, dom, n)
+    if batch:  # pack scenes side by side along x, like bench's stream path
+        from fluid_tpu import scene as scene_mod
+
+        p, dom, stride = scene_mod.pack_scenes(p, cfg)
+        n = n * batch
+        spec = dataclasses.replace(
+            B._stream_spec(cfg, dom, n, pos=p.pos), scene_stride=stride
+        )
+    else:
+        spec = B._stream_spec(cfg, dom, n, pos=p.pos)
     if args.pair:
         spec = dataclasses.replace(spec, pair=True)
         assert stx._use_pair(spec, dim)

@@ -183,11 +183,11 @@ class StreamState:
     # [NG, G, cap] f32 — per-slot drift verdicts from the last collect
     # (contiguous, so needs_rebin is one cheap reduce); zero after (re-)bins
     flag: jax.Array
-    # [3^D - 1, A] i32 — active index of every cube neighbor (A = "no
-    # active neighbor" sentinel).  Rebuilt at (re-)bin time; lets the halo
-    # run as a direct active-major pull, so NOTHING in the substep scales
-    # with the dense tile count nt (at batch-64 the packed domain has 373k
-    # tiles but only ~23k active).
+    # [2*D, A] i32 — active index of every active tile's +/- face neighbor
+    # (A = "no active neighbor" sentinel).  Rebuilt at (re-)bin time; lets
+    # the halo run as a direct active-major pull, so NOTHING in the substep
+    # scales with the dense tile count nt (at batch-64 the packed domain
+    # has 373k tiles but only ~23k active).
     nbr: jax.Array
     # [2*D, A] i32 — the face rows of nbr, progressively DMA-source-GATED
     # for the m+f halo pass sequence: pass d's +/- tables route neighbors
@@ -197,6 +197,13 @@ class StreamState:
     # Valid ONLY where "count == 0 => block zero" holds — the sharded path
     # fills ghost blocks remotely and must keep using the raw nbr rows.
     nbrg: jax.Array
+    # [1] i32 — watermark of needed-but-dropped active tiles across
+    # (re-)bins (active budget exhaustion).  Nonzero means a halo relay
+    # path was silently broken at some point: the run's physics is invalid
+    # even if the final state passes overflow_count.  Checked by
+    # Session/bench.  (Shape [1], not [], so the leaf can ride shard_map's
+    # P(AXIS) out_specs in the sharded backend.)
+    shell_drop: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -1508,9 +1515,10 @@ def halo_pull(x: jnp.ndarray, nbr: jnp.ndarray, tshape, T: int, E: int) -> jnp.n
     Separable axis passes, same math as ``halo_flat`` (both directions of an
     axis read the pre-pass snapshot), with the dense row shifts replaced by
     A-row gathers through nbr — nothing here scales with the dense tile
-    count nt.  Correctness of diagonal flows relies on the active set being
-    cube-dilated (``_dilate``): the relay tiles exist as zero-count actives.
-    (A 26-term direct pull needs no dilation but measured ~4x slower — 26
+    count nt.  Correctness of diagonal flows relies on the active set
+    containing the needed-relay closure (``_active_set``): every relay
+    between two occupied tiles exists as a zero-count active.
+    (A 26-term direct pull needs no relays but measured ~4x slower — 26
     full-array gathers against 6.)"""
     D = len(tshape)
     A, L = x.shape
@@ -1911,9 +1919,9 @@ def _nbr_table(tid_act, tshape, nt: int, A: int):
     inv (tile id -> active index, A = not-active sentinel) is built with one
     [A] scatter — the ONLY nt-sized work outside binning itself; the
     separable push halo then runs active-major through this table.  Face
-    neighbors suffice because the active set is CUBE-DILATED at bin time
-    (``_dilate``): every relay tile on a diagonal deposit path is a cube
-    neighbor of the occupied source, hence active."""
+    neighbors suffice because the active set is the needed-relay closure
+    (``_active_set``): every relay tile on a diagonal deposit path between
+    occupied tiles is active."""
     D = len(tshape)
     inv = jnp.full((nt + 1,), A, jnp.int32)
     inv = inv.at[jnp.clip(tid_act, 0, nt)].min(
@@ -1952,17 +1960,10 @@ def _gated_nbr(nbr, count, A: int, D: int):
     return jnp.stack(out, axis=0)
 
 
-def _dilate(occ, tshape):
-    """Cube-dilate a [nt] bool occupancy map (separable +/-1 max filter).
-
-    Bin-time only, O(nt) bool ops — the price of keeping the per-substep
-    halo separable (6 gathers) instead of a 26-term direct pull (measured
-    ~4x slower at 3d-1m): every diagonal deposit flow routes through
-    intermediate tiles that are cube neighbors of the occupied source, so
-    dilation makes them active (zero-count, compute-skipped) relays."""
-    o = occ.reshape(tshape)
-    D = len(tshape)
-    for d in range(D):
+def _dilate_axes(o, axes):
+    """+/-1 max filter along the given axes of a D-dim bool array."""
+    D = o.ndim
+    for d in axes:
         z = [slice(None)] * D
         lo = list(z)
         hi = list(z)
@@ -1974,10 +1975,51 @@ def _dilate(occ, tshape):
         o = o | jnp.concatenate([o[tuple(lo)], pad], axis=d) | jnp.concatenate(
             [pad, o[tuple(hi)]], axis=d
         )
-    return o.reshape(-1)
+    return o
 
 
-def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=None):
+def _dilate(occ, tshape):
+    """Cube-dilate a [nt] bool occupancy map (separable +/-1 max filter)."""
+    D = len(tshape)
+    return _dilate_axes(occ.reshape(tshape), range(D)).reshape(-1)
+
+
+def _active_set(occ, tshape):
+    """Needed-relay closure of a [nt] bool occupancy map (bin-time, O(nt)).
+
+    The separable halo (axis passes 0..D-1) moves window overlap +/-1 tile
+    per axis, so a deposit flow between occupied tiles u, w (|u-w|_inf <= 1
+    — windows are E = T+2h <= 2T cells wide, so only cube neighbors
+    overlap) routes through the intermediate lattice tiles
+    (w0,u1,u2) after pass 0 and (w0,w1,u2) after pass 1.  Those relays must
+    be active (zero-count, compute-skipped); nothing else does:
+      - t is a pass-0 relay for SOME occupied pair iff t is an axis-0
+        neighbor of an occupied u AND reaches an occupied w via axes 1..:
+        t in dil_0(occ) & dil_{1..D-1}(occ);
+      - t is a pass-1 relay iff t in dil_{0,1}(occ) & dil_{D-1}(occ).
+    Flows into tiles outside this closure have no occupied receiver — their
+    windows are never read (collect runs per occupied tile) — and the nbrg
+    gating treats non-active sources as zero.  Versus full cube dilation
+    this shrinks the active set to ~1.0-1.2x the occupied count (cube
+    dilation of a settled fluid SHEET is ~3.4x: the empty layers above and
+    below relay nothing — measured at batch-64, dilated 73.9k vs 21.8k
+    occupied at frame 4)."""
+    D = len(tshape)
+    o = occ.reshape(tshape)
+    if D == 1:
+        return o.reshape(-1)
+    act = o | (_dilate_axes(o, [0]) & _dilate_axes(o, range(1, D)))
+    if D > 2:
+        act = act | (
+            _dilate_axes(o, range(D - 1)) & _dilate_axes(o, [D - 1])
+        )
+    return act.reshape(-1)
+
+
+def _bin_rows(
+    rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=None,
+    occ_force=None,
+):
     """rows [N, F] + tile ids -> (stream, count, tid) slot structure.
 
     GATHER-only (row scatter measures ~10x slower than gather on v5e):
@@ -1990,6 +2032,13 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=No
     "invalid row" sentinels (used by re-binning) and never land in a tile.
     ``row_idx`` (optional, [n] into rows) composes a prior compaction into
     the same gather: sorted row i is rows[row_idx[order[i]]].
+    ``occ_force`` (optional, [nt] bool) marks tiles that must be treated as
+    OCCUPIED when computing the needed-relay closure even though they hold
+    no local particles — the sharded backend passes its ghost-column mask
+    (ghost tiles are occupied REMOTELY; their deposit blocks arrive via the
+    ppermute exchange, so local occupancy alone under-provisions the relays
+    for cross-boundary flows).  Forced tiles still bin as zero-count
+    actives.
     """
     cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
     F = rows.shape[1]
@@ -2008,8 +2057,9 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=No
     ).astype(jnp.int32)
     count_t = (start[1:] - start[:-1])[:nt]  # real tiles only
 
-    # active set = cube-DILATED occupancy: zero-count shell tiles act as
-    # halo relays (see _dilate); kernels skip them via count == 0.
+    # active set = needed-relay closure of the occupancy (see _active_set):
+    # zero-count shell tiles act as halo relays; kernels skip them via
+    # count == 0.
     # OCCUPIED-FIRST ordering (round 3): at 3d-1m roughly half the actives
     # are empty shell tiles, and interleaving them with occupied tiles makes
     # nearly every kernel GROUP contain a particle — so the per-group window
@@ -2017,7 +2067,8 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=No
     # groups.  Ranking occupied tiles first packs the shells into tail
     # groups whose tot==0 fast path skips all compute.
     occ_p = count_t > 0
-    occ = _dilate(occ_p, tshape)
+    occ_c = occ_p if occ_force is None else occ_p | occ_force
+    occ = _active_set(occ_c, tshape)
     shell = occ & ~occ_p
     n_occ = occ_p.sum().astype(jnp.int32)
     rank_p = jnp.cumsum(occ_p.astype(jnp.int32)) - 1
@@ -2113,9 +2164,17 @@ def _bin_rows(rows, tid_of_particle, n, spec: StreamSpec, nt, tshape, row_idx=No
         )
         flag = jnp.zeros((NG, G, cap), jnp.float32)
     nbr = _nbr_table(tid_act, tshape, nt, A)
+    # needed-but-dropped actives: occupied drops lose particles (caught by
+    # the sum(count) conservation check) but SHELL drops silently break a
+    # relay path — record the watermark so sessions/bench can fail loudly
+    # even when a transient splash peak settles back before the final
+    # overflow_count check.
+    # shape [1] (not []) so the leaf can ride shard_map's P(AXIS) out_specs
+    shell_drop = jnp.maximum(0, occ.sum().astype(jnp.int32) - A).reshape(1)
     return StreamState(
         stream=stream, count=count_act, tid=tid_act, flag=flag,
         nbr=nbr, nbrg=_gated_nbr(nbr, count_act, A, len(tshape)),
+        shell_drop=shell_drop,
     )
 
 
@@ -2397,7 +2456,7 @@ def _substep_core(
     dep1_next = outs[2] if fused else None
     st2 = StreamState(
         stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr,
-        nbrg=st.nbrg,
+        nbrg=st.nbrg, shell_drop=st.shell_drop,
     )
     return st2, dep1_next
 
@@ -2443,6 +2502,10 @@ def frame_binned(
         def do_rebin(st):
             # fused dep1 is stale after a re-bin: recompute standalone
             st2 = _rebin_full(st, cfg, domain, spec, tshape, nt, n_c)
+            # carry the budget-exhaustion watermark across re-bins
+            st2 = dataclasses.replace(
+                st2, shell_drop=jnp.maximum(st.shell_drop, st2.shell_drop)
+            )
             return st2, dep1_k(st2.count, st2.tid, st2.stream)
 
         return lax.cond(
@@ -2588,12 +2651,12 @@ def overflow_count(pos: jnp.ndarray, domain: Domain, spec: StreamSpec, vel=None,
     start = start.at[sid].min(jnp.where(first, ranks, n))
     start = lax.cummin(start[::-1])[::-1]
     count_t = start[1:] - start[:-1]
-    # active budget check mirrors binning: the DILATED occupancy must fit A
-    # in full — a dropped zero-count shell tile would silently break a halo
-    # relay path, so over-budget shell tiles count as overflow too.
+    # active budget check mirrors binning: the needed-relay closure must fit
+    # A in full — a dropped zero-count shell tile would silently break a
+    # halo relay path, so over-budget shell tiles count as overflow too.
     # Ranks mirror _bin_rows' occupied-first ordering.
     occ_p = count_t > 0
-    dil = _dilate(occ_p, tshape)
+    dil = _active_set(occ_p, tshape)
     rank_p = jnp.cumsum(occ_p.astype(jnp.int32)) - 1
     s_rank = ranks - jnp.take(start[:-1], sid)
     a_rank = jnp.take(rank_p, sid)  # occupied tiles rank first

@@ -186,12 +186,27 @@ def _shift_pos_x(pos, sspec: StreamShardSpec, sign: int):
     return pos.at[..., 0].add(sign * shift)
 
 
+def _ghost_mask(sspec: StreamShardSpec):
+    """[nt] bool — the two ghost columns (local tx = 0 and TS+1).
+
+    Ghost tiles are occupied REMOTELY (their deposit blocks arrive via the
+    ppermute exchange), so the needed-relay closure must treat them as
+    occupied or cross-boundary diagonal flows lose their relays."""
+    tshape = _local_tshape(sspec)
+    ntx = tshape[0]
+    rest = math.prod(tshape[1:])
+    tx = np.arange(ntx * rest) // rest
+    return jnp.asarray((tx == 0) | (tx == ntx - 1))
+
+
 def _bin_local(rows, n_rows: int, sspec: StreamShardSpec, keys) -> ShardStreamState:
     """_bin_rows on the local template + column tables."""
     spec = sspec.spec
     tshape = _local_tshape(sspec)
     nt = math.prod(tshape)
-    st = stx._bin_rows(rows, keys, n_rows, spec, nt, tshape)
+    st = stx._bin_rows(
+        rows, keys, n_rows, spec, nt, tshape, occ_force=_ghost_mask(sspec)
+    )
     return ShardStreamState(st=st, col=_col_table(st.tid, sspec))
 
 
@@ -370,7 +385,7 @@ def _sharded_substep_core(
         # raw, UNGATED tables only: ghost blocks are filled by the remote
         # shard, so count == 0 does not imply a zero block here (see
         # StreamState.nbrg) — the sharded substep never reads nbrg
-        nbrg=st.nbrg,
+        nbrg=st.nbrg, shell_drop=st.shell_drop,
     )
     return ShardStreamState(st=st2, col=ss.col), dep1_next
 
@@ -473,6 +488,16 @@ def sharded_frame_binned(
 
         def do_rebin(ss):
             ss2 = _sharded_rebin(ss, cfg, sspec)
+            # carry the budget-exhaustion watermark across re-bins
+            ss2 = dataclasses.replace(
+                ss2,
+                st=dataclasses.replace(
+                    ss2.st,
+                    shell_drop=jnp.maximum(
+                        ss.st.shell_drop, ss2.st.shell_drop
+                    ),
+                ),
+            )
             return ss2, dep1_k(ss2.st.count, ss2.st.tid, ss2.st.stream)
 
         # all devices must agree (collectives inside both branches)
@@ -595,6 +620,11 @@ def gather_stream(
         out[ids] = rows
         seen += len(rows)
     assert seen == n, f"particle loss across shards: {seen} != {n}"
+    drops = int(np.max(st.shell_drop))
+    assert drops == 0, (
+        f"active-budget exhaustion on a shard: {drops} needed relay tiles "
+        f"were dropped at a (re-)bin — physics invalid"
+    )
     return ParticleState(
         pos=jnp.asarray(out[:, 0:D]),
         vel=jnp.asarray(out[:, D : 2 * D]),

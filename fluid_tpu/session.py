@@ -113,6 +113,13 @@ class Session:
                         f"sum(count)={live} != n={self.n} — a re-bin "
                         f"overflowed the slot structure (raise spec.active/cap)"
                     )
+                drops = self.shell_drop()
+                if drops:
+                    raise RuntimeError(
+                        f"active-budget exhaustion at frame {self._frames}: "
+                        f"{drops} needed relay tiles dropped at a re-bin — "
+                        f"physics invalid (raise spec.active)"
+                    )
         else:
             self._p = step.frame(
                 self._p, self.cfg, self.domain, mp, ma, self.backend
@@ -134,6 +141,17 @@ class Session:
         if self.backend == "stream":
             return int(self._st.count.sum())
         return self.n
+
+    def shell_drop(self) -> int:
+        """Watermark of needed-but-dropped active tiles across (re-)bins.
+
+        Nonzero means spec.active was exhausted at some re-bin and a halo
+        relay path was silently broken — the run's physics is invalid even
+        if particle conservation holds (zero-count shell tiles carry no
+        particles, so sum(count) cannot see them)."""
+        if self.backend == "stream":
+            return int(self._st.shell_drop.max())
+        return 0
 
     def particles(self) -> ParticleState:
         """Current particle state in original order (un-bins on demand)."""

@@ -434,3 +434,58 @@ def test_halo3_kernel_matches_gather_form():
             force_kernel=True,
         ).reshape(A, CH * E3)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("tshape", [(7, 5), (5, 4, 6)])
+def test_active_set_covers_all_relays(tshape):
+    """_active_set must contain every relay the separable halo (axis passes
+    0..D-1) routes a deposit flow through: for occupied u, w with
+    |u-w|_inf <= 1 the intermediates (w0,u1,..) after pass 0 and
+    (w0,w1,u2) after pass 1 — brute-forced over random occupancy maps."""
+    import itertools
+    import math
+
+    D = len(tshape)
+    nt = math.prod(tshape)
+    rng = np.random.default_rng(0)
+    for density in (0.03, 0.15, 0.5):
+        occ = rng.random(nt) < density
+        act = np.asarray(stx._active_set(jnp.asarray(occ), tshape)).reshape(tshape)
+        o = occ.reshape(tshape)
+        assert (act | ~o).all(), "occupied tiles must stay active"
+        occ_idx = list(zip(*np.nonzero(o)))
+        for u in occ_idx:
+            for dvec in itertools.product((-1, 0, 1), repeat=D):
+                w = tuple(u[d] + dvec[d] for d in range(D))
+                if any(not (0 <= w[d] < tshape[d]) for d in range(D)):
+                    continue
+                if not o[w]:
+                    continue
+                r1 = (w[0],) + u[1:]  # after pass 0
+                assert act[r1], f"missing pass-0 relay {r1} for {u}->{w}"
+                if D == 3:
+                    r2 = (w[0], w[1], u[2])  # after pass 1
+                    assert act[r2], f"missing pass-1 relay {r2} for {u}->{w}"
+
+
+def test_shell_drop_watermark_on_budget_exhaustion():
+    """Dropping a needed zero-count relay tile loses no particles (so the
+    sum(count) conservation check cannot see it) but must set the
+    shell_drop watermark."""
+    cfg, p, dom = _small_case(2, 8, seed=1, world=16.0)
+    # two occupied tiles, diagonal: place 4 particles in each
+    pos = np.zeros((8, 2), np.float32)
+    pos[:4] = [5.0, 5.0]
+    pos[4:] = [10.0, 10.0]
+    p = ParticleState.create(jnp.asarray(pos))
+    spec_ok = _spec(cfg, dom, 8)
+    st_ok = stx.bin_particles(p, dom, spec_ok)
+    assert int(st_ok.count.sum()) == 8
+    assert int(st_ok.shell_drop.max()) == 0
+
+    # active budget exactly the occupied count: both occupied tiles fit
+    # (conservation holds) but their relays do not
+    spec_tight = _spec(cfg, dom, 8, active=2)
+    st = stx.bin_particles(p, dom, spec_tight)
+    assert int(st.count.sum()) == 8, "no particle loss — only relays dropped"
+    assert int(st.shell_drop.max()) > 0, "relay drop must set the watermark"
