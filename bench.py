@@ -119,7 +119,7 @@ _BIG = False
 # first and retries with the safe one when the run fails LOUDLY (particle
 # loss / shell_drop / overflow_count all raise) — failed attempts are never
 # recorded, so the ladder is self-tuning and honest.
-_ACTIVE_MULTS = (1.5, 3.0)
+_ACTIVE_MULTS = (1.5, 3.0, 6.0)
 _ACTIVE_MULT = _ACTIVE_MULTS[0]
 
 
@@ -175,9 +175,12 @@ def _stream_spec(cfg, dom, n, pos=None):
 
     measured = int(int(occ0(pos)) * _ACTIVE_MULT)
     if measured < spec.active:
-        spec = dataclasses.replace(
-            spec, active=max(2048, min(measured, nt, 110_000))
-        )
+        # round A up to 4 groups' worth so NG stays a multiple of 4 and
+        # _pbatch keeps batching 4 groups/program (odd NG would drop to 1,
+        # quadrupling the ~550ns/program dispatch cost)
+        quant = spec.group * 4
+        active = -(-max(2048, min(measured, nt, 110_000)) // quant) * quant
+        spec = dataclasses.replace(spec, active=min(active, nt))
     return _maybe_pair(spec, cfg.dim)
 
 

@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--config", default="batch-64")
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--pair", action="store_true")
+    ap.add_argument("--active", type=int, default=None,
+                    help="override A (probe-corrupted runs drop relay "
+                    "shells and change the physics — measure with a big A)")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +47,8 @@ def main():
         spec = B._stream_spec(cfg, dom, n, pos=p.pos)
     if args.pair:
         spec = dataclasses.replace(spec, pair=True)
+    if args.active:
+        spec = dataclasses.replace(spec, active=args.active)
     mp, ma = step.no_mouse()
     tshape, nt = stx._tile_geometry(dom, spec)
 
