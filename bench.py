@@ -113,13 +113,22 @@ _PAIR = False
 # before it is allowed into the race (same policy as _PAIR).
 _BIG = False
 
-# Active-budget multiplier ladder over the t=0 needed-relay probe.  Scene
-# occupancy growth over a run is scene-dependent (3d-1m grows ~1.3x,
-# batch-64's spreading dams ~2.8x), so the bench tries the tight budget
-# first and retries with the safe one when the run fails LOUDLY (particle
-# loss / shell_drop / overflow_count all raise) — failed attempts are never
-# recorded, so the ladder is self-tuning and honest.
-_ACTIVE_MULTS = (1.5, 3.0, 6.0)
+# Active-budget (multiplier, floor) ladder over the t=0 needed-relay
+# probe.  Scene occupancy growth over a run is scene-dependent (3d-1m
+# grows ~1.3x, batch-64's spreading dams ~2.8x; ref-scale splashes peak
+# far above ANY multiple of their tiny ~100-tile t=0 closure, so each
+# rung also raises the FLOOR).  The bench tries the tight budget first
+# and climbs a rung when the run fails LOUDLY (particle loss / shell_drop
+# / overflow_count all raise) — failed attempts are never recorded, so
+# the ladder is self-tuning and honest.  The final rung None means "the
+# un-probed x20-estimate spec with the 2048 floor" (the round-2 budget
+# that is known to hold every config): nothing can end up with LESS
+# budget than round 2 had — only with fewer all-zero tail groups (each
+# zero group still costs a full output-block write per kernel pass;
+# measured ~2.5x a whole substep at batch-64's 82k-active round-2
+# budget).  Measured 3d-ref: the 512 floor drops 125 relay tiles at the
+# splash peak (fails loudly); 1024 holds.
+_ACTIVE_MULTS = ((1.5, 512), (6.0, 1024), None)
 _ACTIVE_MULT = _ACTIVE_MULTS[0]
 
 
@@ -155,7 +164,7 @@ def _stream_spec(cfg, dom, n, pos=None):
         # Pallas in interpreter mode
         interpret=jax.default_backend() == "cpu",
     )
-    if pos is None:
+    if pos is None or _ACTIVE_MULT is None:
         return _maybe_pair(spec, cfg.dim)
     # MEASURED budget: at sparse packed scales the formula above is wildly
     # conservative (batch-64: 82k active for ~23k real — the all-zero tail
@@ -173,13 +182,18 @@ def _stream_spec(cfg, dom, n, pos=None):
         occ = jnp.zeros((nt,), bool).at[tid].set(True)
         return stx._active_set(occ, tshape).sum()
 
-    measured = int(int(occ0(pos)) * _ACTIVE_MULT)
+    mult, floor = _ACTIVE_MULT
+    measured = int(int(occ0(pos)) * mult)
     if measured < spec.active:
         # round A up to 4 groups' worth so NG stays a multiple of 4 and
         # _pbatch keeps batching 4 groups/program (odd NG would drop to 1,
-        # quadrupling the ~550ns/program dispatch cost)
+        # quadrupling the ~550ns/program dispatch cost).  Sub-2048 floors:
+        # the old 2048 floor was sized for CUBE-DILATED ref-scene splash
+        # peaks (~21x the 64-tile estimate); the needed-relay closure
+        # tracks occupancy ~3.4x tighter, and a too-tight rung fails
+        # loudly into the next one, ending at the un-probed 2048 spec.
         quant = spec.group * 4
-        active = -(-max(2048, min(measured, nt, 110_000)) // quant) * quant
+        active = -(-max(floor, min(measured, nt, 110_000)) // quant) * quant
         spec = dataclasses.replace(spec, active=min(active, nt))
     return _maybe_pair(spec, cfg.dim)
 
@@ -462,13 +476,15 @@ def run_config(name, backend, quick, baselines):
         global _PAIR, _ACTIVE_MULT
         if b not in ("stream", "stream-big"):
             return False
-        if _ACTIVE_MULT < _ACTIVE_MULTS[-1]:
+        if _ACTIVE_MULT is not None:
             # tight active budget exhausted mid-run (particle loss /
-            # shell_drop / overflow all raise): climb to the safe budget
+            # shell_drop / overflow all raise): climb to the next rung
+            # (None = the un-probed estimate spec, the round-2 budget)
+            nxt = _ACTIVE_MULTS[_ACTIVE_MULTS.index(_ACTIVE_MULT) + 1]
             print(f"# {label} failed at active-mult {_ACTIVE_MULT} — "
-                  f"retrying with {_ACTIVE_MULTS[-1]}: "
+                  f"retrying with {nxt}: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
-            _ACTIVE_MULT = _ACTIVE_MULTS[-1]
+            _ACTIVE_MULT = nxt
             return True
         if _PAIR:
             # a pair-mode failure at scale (e.g. conservation) must never

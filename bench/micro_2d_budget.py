@@ -34,9 +34,9 @@ def main():
         "probed(x1.5)": B._stream_spec(cfg, dom, n, pos=p.pos),
         "estimate(x20)": B._stream_spec(cfg, dom, n, pos=None),
     }
-    # a mid rung, same probe path with the safe multiplier
-    B._ACTIVE_MULT = B._ACTIVE_MULTS[-1]
-    specs["probed(x%g)" % B._ACTIVE_MULT] = B._stream_spec(cfg, dom, n, pos=p.pos)
+    # the last NUMERIC rung (the final rung None = the estimate spec above)
+    B._ACTIVE_MULT = [m for m in B._ACTIVE_MULTS if m is not None][-1]
+    specs["probed(x%g)" % B._ACTIVE_MULT[0]] = B._stream_spec(cfg, dom, n, pos=p.pos)
     B._ACTIVE_MULT = B._ACTIVE_MULTS[0]
 
     for name, spec in specs.items():
