@@ -126,9 +126,11 @@ _BIG = False
 # budget than round 2 had — only with fewer all-zero tail groups (each
 # zero group still costs a full output-block write per kernel pass;
 # measured ~2.5x a whole substep at batch-64's 82k-active round-2
-# budget).  Measured 3d-ref: the 512 floor drops 125 relay tiles at the
-# splash peak (fails loudly); 1024 holds.
-_ACTIVE_MULTS = ((1.5, 512), (6.0, 1024), None)
+# budget).  Measured on v5e: 3d-ref's splash closure peak is in
+# (637, 768] — the 512 floor drops 125 relay tiles (fails loudly), 768
+# holds first-try at 8.02x; batch-64's spreading dams FAIL a x3.0 rung
+# (7548 relay tiles dropped) and need x6, so no mid multiplier rung.
+_ACTIVE_MULTS = ((1.5, 768), (6.0, 1024), None)
 _ACTIVE_MULT = _ACTIVE_MULTS[0]
 
 
