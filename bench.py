@@ -128,8 +128,11 @@ _BIG = False
 # measured ~2.5x a whole substep at batch-64's 82k-active round-2
 # budget).  Measured on v5e: 3d-ref's splash closure peak is in
 # (637, 768] — the 512 floor drops 125 relay tiles (fails loudly), 768
-# holds first-try at 8.02x; batch-64's spreading dams FAIL a x3.0 rung
-# (7548 relay tiles dropped) and need x6, so no mid multiplier rung.
+# holds first-try at 8.02x.  batch-64's spreading dams: x3.0 drops 7548
+# relay tiles and x4.5 drops 369 in frame 3 (after a 2-frame 9.72x tease)
+# — both rungs are measured dead, so the ladder jumps straight to x6.
+# The dynamic-grid zero-tail skip makes the slack cheap anyway: tail
+# programs past the assigned prefix never dispatch.
 _ACTIVE_MULTS = ((1.5, 768), (6.0, 1024), None)
 _ACTIVE_MULT = _ACTIVE_MULTS[0]
 

@@ -108,6 +108,16 @@ class StreamSpec:
     # half the stream slots (bin/re-bin gathers, collect writes).  See
     # _bin_rows for the pairing rule.
     pair: bool = False
+    # DYNAMIC kernel grids: launch only the programs whose slot range
+    # intersects [0, n_asgn) — the assigned (occupied + relay shell)
+    # prefix of the occupied-first active ordering — and skip the zero
+    # tail's dispatch + block DMA entirely (the tail is pure budget
+    # headroom: ~70% of A at 3d-ref, ~40% at 3d-1m).  Skipped output
+    # blocks are UNINITIALIZED; every consumer gates on count/tid and
+    # the drift flag is masked in _substep_core.  Interpret mode fills
+    # skipped blocks with NaN, so the CPU equivalence suite verifies the
+    # gating for real.
+    dyn: bool = True
     # GRADED drift flag margin, in cells.  0.0 = binary flag (today's
     # behavior).  m > 0 makes the collect kernel emit 2.0 for true drift
     # violations (next deposit outside [1-h, T-2+h] — the re-bin TRIGGER)
@@ -164,6 +174,29 @@ def default_spec(cfg: Config, domain: Domain, n: int) -> StreamSpec:
         tile=T, cap=128, halo=2, group=2 if interpret else 8,
         active=min(occupied, nt, 110_000), interpret=interpret,
     )
+
+
+def _n_asgn(tid: jnp.ndarray, nt: int) -> jnp.ndarray:
+    """1 + highest ASSIGNED slot index (tid < nt) — the dynamic-grid bound.
+
+    Occupied-first binning (and its pair permutation, whose stable sort
+    keeps assigned entries ahead of the tid == nt sentinels) packs every
+    assigned slot into the prefix [0, n_asgn); kernels launched through
+    ``_dyn_grid`` cover exactly the programs intersecting that prefix."""
+    A = tid.shape[0]
+    a_io = jnp.arange(A, dtype=jnp.int32)
+    return 1 + jnp.max(jnp.where(tid < nt, a_io, -1))
+
+
+def _dyn_grid(nprog: int, n_asgn, per: int):
+    """Grid tuple for kernels of ``per`` slots/program (static max
+    ``nprog``).  With a traced ``n_asgn`` the grid is DYNAMIC: tail
+    programs never run — no ~550ns dispatch, no block DMA, no zero
+    writes.  Their output blocks are UNINITIALIZED (NaN in interpret
+    mode), which every consumer must gate on count/tid."""
+    if n_asgn is None:
+        return (nprog,)
+    return (jnp.clip((n_asgn + per - 1) // per, 1, nprog),)
 
 
 # Stream row layout (F rows).
@@ -898,16 +931,16 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
                 (PB, G * RT1, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             )
         )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_prefetch,
-        grid=(NG // PB,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (PB, G * RT, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-
-    def call(count, tid, stream, mgblk=None, params=None, d1blk=None):
+    def call(count, tid, stream, mgblk=None, params=None, d1blk=None, n_asgn=None):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=_dyn_grid(NG // PB, n_asgn, G * PB),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (PB, G * RT, OW), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
         args = (count, tid)
         if mode == "p2g2":
             args = args + (params,)
@@ -1394,34 +1427,6 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
         def _():
             _collect_group()
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(NG // PB,),
-        in_specs=[
-            pl.BlockSpec((PB, F, GLW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PB, G * RT, OW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (PB, F, GLW), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (PB, GB, cap), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
-            ),
-        )
-        + (
-            (
-                pl.BlockSpec(
-                    (PB, G * RT, OW), lambda t, *_: (t, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            )
-            if fused_p2g1
-            else ()
-        ),
-        scratch_shapes=[pltpu.VMEM((NBP, GLW), jnp.float32)],
-    )
-
     out_shape = (
         jax.ShapeDtypeStruct((NG, F, GLW), jnp.float32),
         jax.ShapeDtypeStruct((NG, GB, cap), jnp.float32),
@@ -1431,7 +1436,42 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
             jax.ShapeDtypeStruct((NG, G * RT, OW), jnp.float32),
         )
 
-    def call(count, tid, params, stream, gblk):
+    def call(count, tid, params, stream, gblk, n_asgn=None):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=_dyn_grid(NG // PB, n_asgn, G * PB),
+            in_specs=[
+                pl.BlockSpec(
+                    (PB, F, GLW), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (PB, G * RT, OW), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (PB, F, GLW), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (PB, GB, cap), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            )
+            + (
+                (
+                    pl.BlockSpec(
+                        (PB, G * RT, OW), lambda t, *_: (t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                )
+                if fused_p2g1
+                else ()
+            ),
+            scratch_shapes=[pltpu.VMEM((NBP, GLW), jnp.float32)],
+        )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -1642,31 +1682,32 @@ def _make_halo_gblk(spec: StreamSpec, D: int, axis: int, dt: float, gravity):
             o_ref[:, c * S1 : (c + 1) * S1, :] = vc
         o_ref[:, D * S1 : (1 + D) * S1, :] = m
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(A // GH,),
-        in_specs=[
-            pl.BlockSpec(
-                (GH, S, 128), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+    def call(x3, hs_m3, nbp, nbm, n_asgn=None):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=_dyn_grid(A // GH, n_asgn, GH),
+            in_specs=[
+                pl.BlockSpec(
+                    (GH, S, 128), lambda g, *_: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (GH, S1, 128), lambda g, *_: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (GH, (1 + D) * S1, 128), lambda g, *_: (g, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (GH, S1, 128), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (GH, (1 + D) * S1, 128), lambda g, *_: (g, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((GH, S, 128), jnp.float32),
-            pltpu.VMEM((GH, S, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((GH,)),
-            pltpu.SemaphoreType.DMA((GH,)),
-        ],
-    )
-
-    def call(x3, hs_m3, nbp, nbm):
+            scratch_shapes=[
+                pltpu.VMEM((GH, S, 128), jnp.float32),
+                pltpu.VMEM((GH, S, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((GH,)),
+                pltpu.SemaphoreType.DMA((GH,)),
+            ],
+        )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -1762,27 +1803,28 @@ def _make_halo_axis(spec: StreamSpec, D: int, axis: int, CH: int):
             + jnp.where(e_d < E - T, flat_roll(scrm[...], -shift), 0.0)
         )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(A // GH,),
-        in_specs=[
-            pl.BlockSpec(
-                (GH, S, 128), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+    def call(x3, nbp, nbm, n_asgn=None):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=_dyn_grid(A // GH, n_asgn, GH),
+            in_specs=[
+                pl.BlockSpec(
+                    (GH, S, 128), lambda g, *_: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (GH, S, 128), lambda g, *_: (g, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (GH, S, 128), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((GH, S, 128), jnp.float32),
-            pltpu.VMEM((GH, S, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((GH,)),
-            pltpu.SemaphoreType.DMA((GH,)),
-        ],
-    )
-
-    def call(x3, nbp, nbm):
+            scratch_shapes=[
+                pltpu.VMEM((GH, S, 128), jnp.float32),
+                pltpu.VMEM((GH, S, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((GH,)),
+                pltpu.SemaphoreType.DMA((GH,)),
+            ],
+        )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -2320,12 +2362,12 @@ def substep_binned(
     mouse_active,
 ) -> StreamState:
     """One MLS-MPM substep entirely on the persistent stream layout."""
-    dep1_k = make_deposit_kernel(
-        spec, cfg.dim, *_geom(domain, spec)[:2], "p2g1"
-    )
+    tshape, origin, nt = _geom(domain, spec)
+    dep1_k = make_deposit_kernel(spec, cfg.dim, tshape, origin, "p2g1")
+    na = _n_asgn(st.tid, nt) if spec.dyn else None
     st, _ = _substep_core(
-        st, dep1_k(st.count, st.tid, st.stream), cfg, domain, spec,
-        mouse_pos, mouse_active, fused=False,
+        st, dep1_k(st.count, st.tid, st.stream, n_asgn=na), cfg, domain,
+        spec, mouse_pos, mouse_active, fused=False,
     )
     return st
 
@@ -2357,6 +2399,9 @@ def _substep_core(
 
     dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
     coll_k = make_collect_kernel(spec, D, tshape, origin, fused_p2g1=fused)
+    # dynamic-grid bound: one [A] reduce, recomputed per substep (tid only
+    # changes at re-bins, but the reduce is ~free next to any kernel)
+    na = _n_asgn(st.tid, nt) if spec.dyn else None
 
     # No edge mask: positions are clamped to boundary_clip, which sits >= 1
     # cell inside the dense grid (make_domain enforces halo_cells >= 1), so
@@ -2391,7 +2436,7 @@ def _substep_core(
         # fused in-kernel; halo(mom)+halo(frc) == halo(mom+frc))
         dep2 = dep2_k(
             st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
-            d1blk=dep1,
+            d1blk=dep1, n_asgn=na,
         )
         mf3 = dep2.reshape(A, D * S1, 128)
         if not spec.interpret:
@@ -2406,10 +2451,11 @@ def _substep_core(
             # exactly the DMA saving — it MUST live at bin time.
             for d in range(D - 1):
                 mf3 = _make_halo_axis(spec, D, d, D)(
-                    mf3, st.nbrg[2 * d], st.nbrg[2 * d + 1]
+                    mf3, st.nbrg[2 * d], st.nbrg[2 * d + 1], n_asgn=na
                 )
             gblk = _make_halo_gblk(spec, D, D - 1, cfg.dt, cfg.gravity)(
-                mf3, hs_m3, st.nbrg[2 * (D - 1)], st.nbrg[2 * (D - 1) + 1]
+                mf3, hs_m3, st.nbrg[2 * (D - 1)], st.nbrg[2 * (D - 1) + 1],
+                n_asgn=na,
             ).reshape(NG, G * GROWS * S1, 128)
         else:
             hs_mf3 = halo3(mf3, st.nbr, spec, D, D)
@@ -2432,7 +2478,7 @@ def _substep_core(
         mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
         dep2 = dep2_k(
             st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
-            d1blk=dep1,
+            d1blk=dep1, n_asgn=na,
         )
         blk2 = dep2.reshape(A, D, EP)[:, :, :E3]  # [A, D, E3] (m+f)
         hs_mf = halo_stream(
@@ -2451,9 +2497,18 @@ def _substep_core(
 
     # ---- g2p + tail --------------------------------------------------------
     params = _collect_params(cfg, mouse_pos, mouse_active, D, spec.scene_stride)
-    outs = coll_k(st.count, st.tid, params, st.stream, gblk)
+    outs = coll_k(st.count, st.tid, params, st.stream, gblk, n_asgn=na)
     new_stream, flag = outs[0], outs[1]
     dep1_next = outs[2] if fused else None
+    if spec.dyn:
+        # skipped tail programs leave their flag blocks uninitialized;
+        # needs_rebin reduces over the whole array, so mask by assignment
+        # (per slot block — covered groups zero their own tot==0 blocks)
+        asg = st.tid < nt
+        if _use_pair(spec, D):
+            asg = asg[0::2] | asg[1::2]
+        GB = flag.shape[1]
+        flag = jnp.where(asg.reshape(NG, GB, 1), flag, 0.0)
     st2 = StreamState(
         stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr,
         nbrg=st.nbrg, shell_drop=st.shell_drop,
@@ -2506,7 +2561,8 @@ def frame_binned(
             st2 = dataclasses.replace(
                 st2, shell_drop=jnp.maximum(st.shell_drop, st2.shell_drop)
             )
-            return st2, dep1_k(st2.count, st2.tid, st2.stream)
+            na2 = _n_asgn(st2.tid, nt) if spec.dyn else None
+            return st2, dep1_k(st2.count, st2.tid, st2.stream, n_asgn=na2)
 
         return lax.cond(
             needs_rebin(st, domain, spec, cfg.dim),
@@ -2515,7 +2571,8 @@ def frame_binned(
             st,
         )
 
-    dep1_0 = dep1_k(st.count, st.tid, st.stream)
+    na0 = _n_asgn(st.tid, nt) if spec.dyn else None
+    dep1_0 = dep1_k(st.count, st.tid, st.stream, n_asgn=na0)
     st, _ = lax.fori_loop(0, n_sub, body, (st, dep1_0))
     return st
 
