@@ -188,6 +188,24 @@ def _n_asgn(tid: jnp.ndarray, nt: int) -> jnp.ndarray:
     return 1 + jnp.max(jnp.where(tid < nt, a_io, -1))
 
 
+def _n_occ(count: jnp.ndarray) -> jnp.ndarray:
+    """1 + highest OCCUPIED slot index (count > 0) — the deposit/collect
+    grid bound.
+
+    Shell relays (assigned, zero-count) matter only as halo-pass
+    intermediaries: their own deposit windows are identically zero (no
+    particles) and their final gblk/collect outputs are never consumed
+    (no particles to gather).  Occupied-first binning (and the pair
+    permutation's count-descending sort) packs every count > 0 entry
+    ahead of the shells, so dep1/dep2/collect/gblk can launch with this
+    tighter bound; the halo axis passes keep ``_n_asgn`` (shells relay
+    real data there) and read the skipped shells' deposit blocks as
+    zero via the count-gated ``jnp.where`` in ``_substep_core``."""
+    A = count.shape[0]
+    a_io = jnp.arange(A, dtype=jnp.int32)
+    return 1 + jnp.max(jnp.where(count > 0, a_io, -1))
+
+
 def _dyn_grid(nprog: int, n_asgn, per: int):
     """Grid tuple for kernels of ``per`` slots/program (static max
     ``nprog``).  With a traced ``n_asgn`` the grid is DYNAMIC: tail
@@ -2364,9 +2382,9 @@ def substep_binned(
     """One MLS-MPM substep entirely on the persistent stream layout."""
     tshape, origin, nt = _geom(domain, spec)
     dep1_k = make_deposit_kernel(spec, cfg.dim, tshape, origin, "p2g1")
-    na = _n_asgn(st.tid, nt) if spec.dyn else None
+    no = _n_occ(st.count) if spec.dyn else None
     st, _ = _substep_core(
-        st, dep1_k(st.count, st.tid, st.stream, n_asgn=na), cfg, domain,
+        st, dep1_k(st.count, st.tid, st.stream, n_asgn=no), cfg, domain,
         spec, mouse_pos, mouse_active, fused=False,
     )
     return st
@@ -2399,9 +2417,16 @@ def _substep_core(
 
     dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
     coll_k = make_collect_kernel(spec, D, tshape, origin, fused_p2g1=fused)
-    # dynamic-grid bound: one [A] reduce, recomputed per substep (tid only
-    # changes at re-bins, but the reduce is ~free next to any kernel)
+    # dynamic-grid bounds: two [A] reduces, recomputed per substep (tid/count
+    # only change at re-bins, but the reduces are ~free next to any kernel).
+    # ``na`` (assigned = occupied + relay shells) bounds the halo axis
+    # passes; ``no`` (occupied only) bounds dep2/collect/gblk, whose shell
+    # outputs are never consumed — see _n_occ.
     na = _n_asgn(st.tid, nt) if spec.dyn else None
+    no = _n_occ(st.count) if spec.dyn else None
+    # count-gate for halo inputs: the occupied-bound deposit kernels leave
+    # shell blocks UNINITIALIZED (their true value is zero — no particles)
+    occ_t = (st.count > 0)[:, None, None]
 
     # No edge mask: positions are clamped to boundary_clip, which sits >= 1
     # cell inside the dense grid (make_domain enforces halo_cells >= 1), so
@@ -2429,16 +2454,17 @@ def _substep_core(
         # kernel is latency-bound and LOSES to the gather (measured 8.4 vs
         # ~4 ms at 3d-1m); the fat m+f rows below keep the kernel path
         hs_m3 = halo_pull(
-            d1[:, :S1].reshape(A, E3), st.nbr, tshape, T, E
+            jnp.where(occ_t, d1[:, :S1], 0.0).reshape(A, E3),
+            st.nbr, tshape, T, E,
         ).reshape(A, S1, 128)
         mgblk = hs_m3.reshape(NG, G * S1, 128)
         # dep2 emits the COMBINED momentum+force windows (the m+f add is
         # fused in-kernel; halo(mom)+halo(frc) == halo(mom+frc))
         dep2 = dep2_k(
             st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
-            d1blk=dep1, n_asgn=na,
+            d1blk=dep1, n_asgn=no,
         )
-        mf3 = dep2.reshape(A, D * S1, 128)
+        mf3 = jnp.where(occ_t, dep2.reshape(A, D * S1, 128), 0.0)
         if not spec.interpret:
             # last axis pass fused with the grid update: emits gblk directly.
             # The m+f passes take the GATED neighbor tables (st.nbrg):
@@ -2455,7 +2481,7 @@ def _substep_core(
                 )
             gblk = _make_halo_gblk(spec, D, D - 1, cfg.dt, cfg.gravity)(
                 mf3, hs_m3, st.nbrg[2 * (D - 1)], st.nbrg[2 * (D - 1) + 1],
-                n_asgn=na,
+                n_asgn=no,
             ).reshape(NG, G * GROWS * S1, 128)
         else:
             hs_mf3 = halo3(mf3, st.nbr, spec, D, D)
@@ -2472,15 +2498,17 @@ def _substep_core(
             ).reshape(NG, G * GROWS * S1, 128)
     else:
         blk1 = dep1.reshape(A, GROWS, EP)[:, : 1 + D, :E3]  # [A, 1+D, E3]
+        blk1 = jnp.where(occ_t, blk1, 0.0)
         # halo only the MASS channel (p2g_2 needs it); the momentum halo
         # rides the force halo below (dep2 emits COMBINED m+f; halo linear)
         hs_m = halo_stream(blk1[:, 0, :], st.nbr, tshape, spec, D, 1)
         mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
         dep2 = dep2_k(
             st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
-            d1blk=dep1, n_asgn=na,
+            d1blk=dep1, n_asgn=no,
         )
         blk2 = dep2.reshape(A, D, EP)[:, :, :E3]  # [A, D, E3] (m+f)
+        blk2 = jnp.where(occ_t, blk2, 0.0)
         hs_mf = halo_stream(
             blk2.reshape(A, D * E3), st.nbr, tshape, spec, D, D
         )
@@ -2497,18 +2525,19 @@ def _substep_core(
 
     # ---- g2p + tail --------------------------------------------------------
     params = _collect_params(cfg, mouse_pos, mouse_active, D, spec.scene_stride)
-    outs = coll_k(st.count, st.tid, params, st.stream, gblk, n_asgn=na)
+    outs = coll_k(st.count, st.tid, params, st.stream, gblk, n_asgn=no)
     new_stream, flag = outs[0], outs[1]
     dep1_next = outs[2] if fused else None
     if spec.dyn:
         # skipped tail programs leave their flag blocks uninitialized;
-        # needs_rebin reduces over the whole array, so mask by assignment
-        # (per slot block — covered groups zero their own tot==0 blocks)
-        asg = st.tid < nt
+        # needs_rebin reduces over the whole array, so mask by occupancy
+        # (per slot block — covered groups zero their own tot==0 blocks,
+        # and only occupied blocks hold slots that can drift)
+        occ_e = st.count > 0
         if _use_pair(spec, D):
-            asg = asg[0::2] | asg[1::2]
+            occ_e = occ_e[0::2] | occ_e[1::2]
         GB = flag.shape[1]
-        flag = jnp.where(asg.reshape(NG, GB, 1), flag, 0.0)
+        flag = jnp.where(occ_e.reshape(NG, GB, 1), flag, 0.0)
     st2 = StreamState(
         stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr,
         nbrg=st.nbrg, shell_drop=st.shell_drop,
@@ -2561,8 +2590,8 @@ def frame_binned(
             st2 = dataclasses.replace(
                 st2, shell_drop=jnp.maximum(st.shell_drop, st2.shell_drop)
             )
-            na2 = _n_asgn(st2.tid, nt) if spec.dyn else None
-            return st2, dep1_k(st2.count, st2.tid, st2.stream, n_asgn=na2)
+            no2 = _n_occ(st2.count) if spec.dyn else None
+            return st2, dep1_k(st2.count, st2.tid, st2.stream, n_asgn=no2)
 
         return lax.cond(
             needs_rebin(st, domain, spec, cfg.dim),
@@ -2571,8 +2600,8 @@ def frame_binned(
             st,
         )
 
-    na0 = _n_asgn(st.tid, nt) if spec.dyn else None
-    dep1_0 = dep1_k(st.count, st.tid, st.stream, n_asgn=na0)
+    no0 = _n_occ(st.count) if spec.dyn else None
+    dep1_0 = dep1_k(st.count, st.tid, st.stream, n_asgn=no0)
     st, _ = lax.fori_loop(0, n_sub, body, (st, dep1_0))
     return st
 
