@@ -81,7 +81,8 @@ def test_pallas_multi_substep():
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-4)
 
 
-def test_pallas_preserve_order_false_strict():
+@pytest.mark.slow  # oracle-backend option path; step.frame dispatch coverage
+def test_pallas_preserve_order_false_strict():  # stays in test_backends.py
     cfg, p, dom = _case(2, 384, seed=3)
     spec = tt.TileSpec(tile=4, cap=64, strict=True)
     assert int(tt.overflow_count(p.pos, dom, spec)) == 0

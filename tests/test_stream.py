@@ -172,8 +172,8 @@ def test_graded_flag_matches_numpy_predicate():
     predicate (float local coord within margin of the drift window edge)."""
     import dataclasses as _dc
 
-    cfg, p, dom = _small_case(2, 192, seed=4, vel_scale=2.0, world=16.0)
-    spec0 = _spec(cfg, dom, 192)
+    cfg, p, dom = _small_case(2, 128, seed=4, vel_scale=2.0, world=12.0)
+    spec0 = _spec(cfg, dom, 128)
     specm = _dc.replace(spec0, rebin_margin=0.5)
     mp, ma = step.no_mouse()
 
@@ -373,6 +373,7 @@ def test_halo_dma_gating_matches_ungated():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+@pytest.mark.slow  # big-tile is measured-dead and defaults OFF everywhere
 def test_stream_flat3d_big_tile_matches_dense():
     """3D FLAT (non-rank-3) kernel path: tile=8 -> E=12, E^3=1728 % 128 != 0,
     so _use_r3 is False and the substep takes the EP-lane-padded branch (the
