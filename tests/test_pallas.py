@@ -81,8 +81,10 @@ def test_pallas_multi_substep():
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-4)
 
 
-@pytest.mark.slow  # oracle-backend option path; step.frame dispatch coverage
-def test_pallas_preserve_order_false_strict():  # stays in test_backends.py
+@pytest.mark.slow  # pallas option path (preserve_order/strict); the default
+# suite covers only frame-level dispatch with default options
+# (test_backends.py) plus the tiled variant's option path (test_tiled.py)
+def test_pallas_preserve_order_false_strict():
     cfg, p, dom = _case(2, 384, seed=3)
     spec = tt.TileSpec(tile=4, cap=64, strict=True)
     assert int(tt.overflow_count(p.pos, dom, spec)) == 0

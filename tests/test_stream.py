@@ -172,7 +172,11 @@ def test_graded_flag_matches_numpy_predicate():
     predicate (float local coord within margin of the drift window edge)."""
     import dataclasses as _dc
 
-    cfg, p, dom = _small_case(2, 128, seed=4, vel_scale=2.0, world=12.0)
+    # vel_scale=12 with this seed produces BOTH graded levels (measured on
+    # the CPU suite: 25 at-risk flag=1 slots and 3 flag=2 violations), so
+    # assertions (b) and (c) below are exercised for real — guarded by the
+    # non-vacuity asserts so a reshuffle can't silently re-vacuate them
+    cfg, p, dom = _small_case(2, 128, seed=4, vel_scale=12.0, world=12.0)
     spec0 = _spec(cfg, dom, 128)
     specm = _dc.replace(spec0, rebin_margin=0.5)
     mp, ma = step.no_mouse()
@@ -185,6 +189,8 @@ def test_graded_flag_matches_numpy_predicate():
     fa = np.asarray(a.flag)
     fb = np.asarray(b.flag)
     assert set(np.unique(fb)) <= {0.0, 1.0, 2.0}
+    assert (fb == 1.0).sum() > 0, "vacuous: no at-risk slot fired"
+    assert (fb == 2.0).sum() > 0, "vacuous: no violation slot fired"
     np.testing.assert_array_equal(fa > 0.0, fb >= 2.0)
 
     # numpy at-risk predicate per valid slot, from the post-substep stream
