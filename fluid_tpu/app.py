@@ -141,15 +141,26 @@ def run(
     viewport = render_mod.DEFAULT_VIEWPORT
     console = render_mod.DEFAULT_CONSOLE
     timer = None
-    if timing:
+    stream_timer = None
+    if timing and backend == "stream":
+        # production path UNCHANGED (fused Session frame); the overlay
+        # probes the same kernels stage-by-stage on the post-frame state
+        # and discards the outputs (VERDICT r3 #7)
+        from .utils.timing import StreamPhaseTimer
+
+        sess = session_mod.Session(cfg, dom, p, backend=backend)
+        stream_timer = StreamPhaseTimer(cfg, dom, sess.spec, p.n)
+    elif timing:
         # the overlay always times the REQUESTED backend: dense gets the
-        # reference's per-phase split (2d_multi.rs:479-487), fused backends
-        # get honest per-substep timing of their own code path
+        # reference's per-phase split (2d_multi.rs:479-487), other fused
+        # backends get honest per-substep timing of their own code path
         timer = PhaseTimer(cfg, dom, backend=backend)
-    # persistent-state session: binned stream state lives across frames
-    # (bin/unbin amortized away — the reference keeps its chunk map the
-    # same way); the timing overlay keeps the per-phase ParticleState path
-    sess = None if timing else session_mod.Session(cfg, dom, p, backend=backend)
+        sess = None
+    else:
+        # persistent-state session: binned stream state lives across frames
+        # (bin/unbin amortized away — the reference keeps its chunk map the
+        # same way)
+        sess = session_mod.Session(cfg, dom, p, backend=backend)
 
     ev_q: "queue.Queue" = queue.Queue(maxsize=1)
     stop = threading.Event()
@@ -184,6 +195,11 @@ def run(
                 sess.frame(mouse)
                 sess.block_until_ready()
                 phase_times = [("frame", time.perf_counter() - t0)]
+                if stream_timer is not None:
+                    phase_times = (
+                        stream_timer.probe(sess.stream_state(), *mouse)
+                        + phase_times
+                    )
 
             if headless:
                 out.write(f"--- frame {frame_i} ---\n")

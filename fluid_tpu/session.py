@@ -153,6 +153,13 @@ class Session:
             return int(self._st.shell_drop.max())
         return 0
 
+    def stream_state(self):
+        """Current binned StreamState (stream backend only) — read-only
+        access for diagnostics (the ``--timing`` stage probe)."""
+        if self.backend != "stream":
+            raise ValueError("stream_state() requires the stream backend")
+        return self._st
+
     def particles(self) -> ParticleState:
         """Current particle state in original order (un-bins on demand)."""
         if self.backend == "stream":

@@ -53,6 +53,11 @@ def _dense(cfg, dom, p, substeps):
     return run(p)
 
 
+# slow since round 4: the PAIR s=4 test below covers the same interior-slab
+# exchange paths on the production spec (pair + dyn + probed budgets);
+# non-pair sharded binning/migration stays default-covered at s=2 by
+# test_sharded_migration_moves_particles + the budget-exhaustion test.
+@pytest.mark.slow
 @pytest.mark.parametrize("s", [4])  # s=2 is a strict subset of the s=4
 def test_sharded_stream_matches_dense(s):  # exchange paths (suite budget)
     cfg, p, dom = _case()
