@@ -136,6 +136,16 @@ _BIG = False
 _ACTIVE_MULTS = ((1.5, 768), (6.0, 1024), None)
 _ACTIVE_MULT = _ACTIVE_MULTS[0]
 
+# Peak-aware starting rung (VERDICT r3 #5): scene classes whose measured
+# occupancy growth exceeds the tight rung start higher instead of paying a
+# doomed full run every bench.  batch-64's spreading dams grow ~2.8x from
+# t=0 and the budget must cover the PEAK: x1.5 drops 7548 relay tiles and
+# x4.5 drops 369 in frame 3 — both measured dead on v5e — so it starts at
+# the x6 rung.  Every run now also reports "peak need X of budget A" from
+# the StreamState.need_peak watermark, so future tightening comes from
+# measurement, not failure discovery.
+_START_RUNG = {"batch-64": 1}
+
 
 def _maybe_pair(spec, dim):
     from fluid_tpu.ops import stream_transfer as stx
@@ -335,6 +345,12 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None):
                 f"active-budget exhaustion during timed run: {drops} needed "
                 f"relay tiles dropped at a re-bin — physics invalid"
             )
+        # measured budget demand (VERDICT r4 #5): the watermark lets future
+        # rungs be tightened from data instead of discovered by failure
+        print(
+            f"# peak active need {sess.need_peak():,} of budget "
+            f"A={spec.A:,}", file=sys.stderr,
+        )
         p = jax.block_until_ready(sess.particles())
     else:
         if batch:
@@ -471,9 +487,9 @@ def run_config(name, backend, quick, baselines):
     import jax
 
     global _PAIR, _ACTIVE_MULT
-    # budget growth is per-scene: start every config at the tight rung
+    # budget growth is per-scene: start each config at its peak-aware rung
     # (_PAIR is NOT reset — it was verified once for the whole process)
-    _ACTIVE_MULT = _ACTIVE_MULTS[0]
+    _ACTIVE_MULT = _ACTIVE_MULTS[_START_RUNG.get(name, 0)]
 
     def _stream_retry(e, b, label):
         """Self-tuning failure ladder for stream runs: a failed attempt was

@@ -255,6 +255,12 @@ class StreamState:
     # Session/bench.  (Shape [1], not [], so the leaf can ride shard_map's
     # P(AXIS) out_specs in the sharded backend.)
     shell_drop: jax.Array
+    # [1] i32 — watermark of the needed-relay-closure SIZE across (re-)bins
+    # (the actual active-budget demand, regardless of whether it fit A).
+    # Lets the bench/session report "peak need X of budget A" after a
+    # successful run, so budget rungs can be tightened from measurement
+    # instead of discovered by loud failure (VERDICT r4 #5).
+    need_peak: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -2230,11 +2236,12 @@ def _bin_rows(
     # even when a transient splash peak settles back before the final
     # overflow_count check.
     # shape [1] (not []) so the leaf can ride shard_map's P(AXIS) out_specs
-    shell_drop = jnp.maximum(0, occ.sum().astype(jnp.int32) - A).reshape(1)
+    need = occ.sum().astype(jnp.int32).reshape(1)
+    shell_drop = jnp.maximum(0, need - A)
     return StreamState(
         stream=stream, count=count_act, tid=tid_act, flag=flag,
         nbr=nbr, nbrg=_gated_nbr(nbr, count_act, A, len(tshape)),
-        shell_drop=shell_drop,
+        shell_drop=shell_drop, need_peak=need,
     )
 
 
@@ -2540,7 +2547,7 @@ def _substep_core(
         flag = jnp.where(occ_e.reshape(NG, GB, 1), flag, 0.0)
     st2 = StreamState(
         stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr,
-        nbrg=st.nbrg, shell_drop=st.shell_drop,
+        nbrg=st.nbrg, shell_drop=st.shell_drop, need_peak=st.need_peak,
     )
     return st2, dep1_next
 
@@ -2588,7 +2595,9 @@ def frame_binned(
             st2 = _rebin_full(st, cfg, domain, spec, tshape, nt, n_c)
             # carry the budget-exhaustion watermark across re-bins
             st2 = dataclasses.replace(
-                st2, shell_drop=jnp.maximum(st.shell_drop, st2.shell_drop)
+                st2,
+                shell_drop=jnp.maximum(st.shell_drop, st2.shell_drop),
+                need_peak=jnp.maximum(st.need_peak, st2.need_peak),
             )
             no2 = _n_occ(st2.count) if spec.dyn else None
             return st2, dep1_k(st2.count, st2.tid, st2.stream, n_asgn=no2)

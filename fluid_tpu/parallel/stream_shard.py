@@ -490,7 +490,7 @@ def _sharded_substep_core(
         # nbrg here is the GHOST-AWARE gate built by _bin_local (count OR
         # ghost), so the halo passes above can skip zero shells without
         # gating away remotely-filled ghost blocks
-        nbrg=st.nbrg, shell_drop=st.shell_drop,
+        nbrg=st.nbrg, shell_drop=st.shell_drop, need_peak=st.need_peak,
     )
     return ShardStreamState(st=st2, col=ss.col), dep1_next
 
@@ -600,6 +600,9 @@ def sharded_frame_binned(
                     ss2.st,
                     shell_drop=jnp.maximum(
                         ss.st.shell_drop, ss2.st.shell_drop
+                    ),
+                    need_peak=jnp.maximum(
+                        ss.st.need_peak, ss2.st.need_peak
                     ),
                 ),
             )

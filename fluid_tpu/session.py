@@ -153,6 +153,13 @@ class Session:
             return int(self._st.shell_drop.max())
         return 0
 
+    def need_peak(self) -> int:
+        """Watermark of the needed-relay-closure size across (re-)bins —
+        the run's actual active-budget demand (vs spec.active)."""
+        if self.backend == "stream":
+            return int(self._st.need_peak.max())
+        return 0
+
     def stream_state(self):
         """Current binned StreamState (stream backend only) — read-only
         access for diagnostics (the ``--timing`` stage probe)."""
