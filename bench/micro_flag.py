@@ -41,6 +41,15 @@ def main():
         help="graded flag margin in cells (spec.rebin_margin); reports the "
         "at-risk (flag>=1) fraction a partial re-bin would move",
     )
+    ap.add_argument(
+        "--policy", default="full", choices=["full", "graded"],
+        help="graded: EMULATE the partial re-bin's semantics (at-risk "
+        "slots re-key predictively, residents keep their current tile) "
+        "through the ordinary full _bin_rows machinery — same physics and "
+        "TRIGGER SCHEDULE as a real partial re-bin, without the slot "
+        "surgery.  Measures the trigger-rate inflation that decides "
+        "whether building the surgery is worth it (VERDICT r4 #4)",
+    )
     args = ap.parse_args()
 
     dim, n, frames, batch, bkey, backends = B.CONFIGS["3d-1m"]
@@ -53,6 +62,41 @@ def main():
 
     st0 = jax.block_until_ready(stx.bin_particles(p, dom, spec, dt=cfg.dt))
     dep1_k = stx.make_deposit_kernel(spec, cfg.dim, tshape, origin, "p2g1")
+
+    args_policy = args.policy  # do_rebin's parameter shadows ``args``
+    cap, G, A, NG = spec.cap, spec.group, spec.A, spec.NG
+    pairmode = stx._use_pair(spec, cfg.dim)
+    GB = G // 2 if pairmode else G
+
+    def slot_tiles(st):
+        """[nslots] current tile id of every slot (pair-aware)."""
+        if pairmode:
+            c0 = st.count[0::2]
+            t0 = st.tid[0::2]
+            t1 = st.tid[1::2]
+            s_io = jnp.arange(cap, dtype=jnp.int32)[None, :]
+            return jnp.where(
+                s_io < c0[:, None], t0[:, None], t1[:, None]
+            ).reshape(-1)
+        return jnp.repeat(st.tid, cap, total_repeat_length=A * cap)
+
+    def rebin_graded(st):
+        """Partial-policy emulation: residents keep their tile (no
+        predictive refresh), flag>=1 slots re-key predictively.  The
+        binning itself still runs the full gather machinery — identical
+        physics and trigger schedule to a real partial re-bin."""
+        D = cfg.dim
+        flat, slot_valid = stx._slots_flat(st, spec, D)
+        flag_slot = (st.flag >= 1.0).reshape(-1)
+        cur = slot_tiles(st)
+        newk = stx._keys_from_pos(
+            flat[:, :D], dom, spec, tshape,
+            vel=flat[:, D : 2 * D], dt=cfg.dt,
+        )
+        keys = jnp.where(
+            slot_valid, jnp.where(flag_slot, newk, cur), nt
+        )
+        return stx._bin_rows(flat, keys, flat.shape[0], spec, nt, tshape)
 
     def stats(st, substep_i):
         # flag >= 2 = true violators (the trigger); >= 1 adds the at-risk
@@ -83,7 +127,10 @@ def main():
             def do_rebin(args):
                 st, buf, k = args
                 buf = buf.at[jnp.minimum(k, MAXREB - 1)].set(stats(st, i))
-                st2 = stx._rebin_full(st, cfg, dom, spec, tshape, nt, n)
+                if args_policy == "graded":
+                    st2 = rebin_graded(st)
+                else:
+                    st2 = stx._rebin_full(st, cfg, dom, spec, tshape, nt, n)
                 return st2, dep1_k(st2.count, st2.tid, st2.stream), buf, k + 1
 
             return lax.cond(
