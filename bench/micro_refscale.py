@@ -48,7 +48,8 @@ def run_one(label, cfg, p, dom, spec, frames, n):
         print(
             f"{label:28s} {dt / frames * 1e3:8.2f} ms/frame  "
             f"({n * cfg.iterations * frames / dt:,.0f} pps; "
-            f"peak need {sess.need_peak():,} of A={spec.A:,})"
+            f"peak need {sess.need_peak():,} of A={spec.A:,}; "
+            f"{sess.rebins() / (frames + 1):.2f} rebins/frame)"
         )
     except Exception as e:  # noqa: BLE001
         print(f"{label:28s} FAILED: {type(e).__name__}: {e}")
@@ -84,6 +85,32 @@ def main():
     for mult in (2, 4):
         run_one(f"active x{mult}", cfg, p, dom,
                 dataclasses.replace(base, active=base.active * mult), f, n)
+
+    # ---- solo re-bin cost vs A: attributes the active-sweep residue ------
+    # (rebins/frame x this = the re-bin share of the frame)
+    import time
+
+    import jax
+
+    for mult in (1, 2, 4):
+        spec = dataclasses.replace(base, active=base.active * mult)
+        tshape, origin, nt = stx._geom(dom, spec)
+        st = stx.bin_particles(p, dom, spec, dt=cfg.dt)
+
+        @jax.jit
+        def rb(st, spec=spec, tshape=tshape, nt=nt):
+            return stx._rebin_full(st, cfg, dom, spec, tshape, nt, n)
+
+        out = jax.block_until_ready(rb(st))
+        _ = float(out.count.sum())
+        t0 = time.perf_counter()
+        reps = 30
+        for _ in range(reps):
+            out = rb(st)
+        jax.block_until_ready(out)
+        _ = float(out.count.sum())
+        print(f"solo rebin A={spec.A:6d}: "
+              f"{(time.perf_counter() - t0) / reps * 1e3:7.3f} ms")
 
 
 if __name__ == "__main__":

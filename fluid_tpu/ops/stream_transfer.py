@@ -261,6 +261,11 @@ class StreamState:
     # successful run, so budget rungs can be tightened from measurement
     # instead of discovered by loud failure (VERDICT r4 #5).
     need_peak: jax.Array
+    # [1] i32 — drift re-bins since the initial bin (diagnostics; the
+    # sharded backend has carried the same counter since round 3).  Re-bin
+    # frequency x solo re-bin cost attributes the re-bin share of a frame
+    # without per-substep host syncs.
+    rebins: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -2242,6 +2247,7 @@ def _bin_rows(
         stream=stream, count=count_act, tid=tid_act, flag=flag,
         nbr=nbr, nbrg=_gated_nbr(nbr, count_act, A, len(tshape)),
         shell_drop=shell_drop, need_peak=need,
+        rebins=jnp.zeros((1,), jnp.int32),
     )
 
 
@@ -2548,6 +2554,7 @@ def _substep_core(
     st2 = StreamState(
         stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr,
         nbrg=st.nbrg, shell_drop=st.shell_drop, need_peak=st.need_peak,
+        rebins=st.rebins,
     )
     return st2, dep1_next
 
@@ -2598,6 +2605,7 @@ def frame_binned(
                 st2,
                 shell_drop=jnp.maximum(st.shell_drop, st2.shell_drop),
                 need_peak=jnp.maximum(st.need_peak, st2.need_peak),
+                rebins=st.rebins + 1,
             )
             no2 = _n_occ(st2.count) if spec.dyn else None
             return st2, dep1_k(st2.count, st2.tid, st2.stream, n_asgn=no2)

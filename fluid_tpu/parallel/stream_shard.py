@@ -494,6 +494,7 @@ def _sharded_substep_core(
         # ghost), so the halo passes above can skip zero shells without
         # gating away remotely-filled ghost blocks
         nbrg=st.nbrg, shell_drop=st.shell_drop, need_peak=st.need_peak,
+        rebins=st.rebins,
     )
     return ShardStreamState(st=st2, col=ss.col), dep1_next
 
@@ -607,6 +608,7 @@ def sharded_frame_binned(
                     need_peak=jnp.maximum(
                         ss.st.need_peak, ss2.st.need_peak
                     ),
+                    rebins=ss.st.rebins + 1,
                 ),
             )
             no2 = stx._n_occ(ss2.st.count) if spec.dyn else None

@@ -160,6 +160,14 @@ class Session:
             return int(self._st.need_peak.max())
         return 0
 
+    def rebins(self) -> int:
+        """Drift re-bins fired since the initial bin (diagnostics; re-bin
+        frequency x solo re-bin cost attributes the re-bin share of a
+        frame without per-substep host syncs)."""
+        if self.backend == "stream":
+            return int(self._st.rebins.max())
+        return 0
+
     def stream_state(self):
         """Current binned StreamState (stream backend only) — read-only
         access for diagnostics (the ``--timing`` stage probe)."""
