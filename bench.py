@@ -322,11 +322,14 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None):
             return step.frame_body(q, cfg, dom, mp, ma, backend)
 
     if backend == "stream":
-        sess.frame((mp, ma))  # warmup/compile
+        sess.frame((mp, ma))  # warmup/compile (timed window starts at frame 2)
         sess.block_until_ready()
+        # the whole timed span is ONE device program: at small N a frame is
+        # a few ms and the per-dispatch latency (~1-3 ms over the TPU
+        # tunnel) dominates — fuse it away.  AOT-compiled off the clock.
+        sess.compile_run(frames)
         t0 = time.perf_counter()
-        for _ in range(frames):
-            sess.frame((mp, ma))
+        sess.run(frames, (mp, ma))
         sess.block_until_ready()
         dt = time.perf_counter() - t0
         # particle conservation BEFORE unbin: a transient mid-run re-bin

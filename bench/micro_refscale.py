@@ -65,8 +65,20 @@ def main():
     from fluid_tpu.ops import stream_transfer as stx
 
     dim, n, _frames, batch, bkey, backends = B.CONFIGS[args.config]
+    # peak-aware starting rung (batch-64's tight rungs are measured dead)
+    B._ACTIVE_MULT = B._ACTIVE_MULTS[B._START_RUNG.get(args.config, 0)]
     cfg, p, dom = B._make_scene(dim, n, batch)
-    base = B._stream_spec(cfg, dom, n, pos=p.pos)
+    if batch:
+        # mirror bench._bench_frame: scenes packed side by side along x
+        from fluid_tpu import scene as scene_mod
+
+        p, dom, stride = scene_mod.pack_scenes(p, cfg)
+        n = p.pos.shape[0]
+        base = dataclasses.replace(
+            B._stream_spec(cfg, dom, n, pos=p.pos), scene_stride=stride
+        )
+    else:
+        base = B._stream_spec(cfg, dom, n, pos=p.pos)
     print(f"config={args.config} n={n} base: A={base.A} G={base.group} "
           f"pair={base.pair} dyn={base.dyn}")
 

@@ -90,6 +90,8 @@ class Session:
                 return stx.frame_binned(st, cfg, domain, self.spec, mp, ma, n=n)
 
             self._frame_fn = _frame
+            self._run_fns = {}  # frames -> jitted k-frame program
+            self._run_compiled = {}  # frames -> AOT-compiled executable
             self._unbin = jax.jit(
                 lambda st: stx.unbin(st, domain, self.spec, n, self.dim)
             )
@@ -125,6 +127,70 @@ class Session:
                 self._p, self.cfg, self.domain, mp, ma, self.backend
             )
         self._frames += 1
+
+    def _run_fn(self, frames: int):
+        """Jitted ``frames``-frame program (cached per k).  One device
+        dispatch for the whole span: at small N a frame is a few ms and the
+        per-dispatch latency (~1-3 ms over a TPU tunnel) dominates — fusing
+        k frames amortizes it.  The k-frame program is the same nested
+        fori_loop the per-frame path runs (re-bin conds included)."""
+        fn = self._run_fns.get(frames)
+        if fn is None:
+            stx, cfg, domain, spec, n = (
+                self._stx, self.cfg, self.domain, self.spec, self.n
+            )
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def _run(st, mp, ma):
+                return jax.lax.fori_loop(
+                    0, frames,
+                    lambda _, s: stx.frame_binned(s, cfg, domain, spec, mp, ma, n=n),
+                    st,
+                )
+
+            fn = _run
+            self._run_fns[frames] = fn
+        return fn
+
+    def compile_run(self, frames: int) -> None:
+        """AOT-compile the ``frames``-frame program without executing it
+        (so a timed ``run`` call excludes compilation).  The compiled
+        executable is cached and ``run`` uses it directly (a jitted
+        function's call cache is separate from its AOT path)."""
+        if self.backend != "stream" or frames in self._run_compiled:
+            return
+        mp, ma = step.no_mouse()
+        self._run_compiled[frames] = (
+            self._run_fn(frames).lower(self._st, mp, ma).compile()
+        )
+
+    def run(self, frames: int, mouse: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> None:
+        """Advance ``frames`` frames in ONE device program (stream backend;
+        other backends fall back to per-frame dispatch).  ``mouse`` applies
+        to every frame in the span — interactive use wants ``frame()``."""
+        mp, ma = mouse if mouse is not None else step.no_mouse()
+        if self.backend != "stream":
+            for _ in range(frames):
+                self.frame((mp, ma))
+            return
+        fn = self._run_compiled.get(frames) or self._run_fn(frames)
+        self._st = fn(self._st, mp, ma)
+        self._frames += frames
+        if self.strict:
+            live = int(self._st.count.sum())
+            if live != self.n:
+                raise RuntimeError(
+                    f"particle loss during {frames}-frame run: "
+                    f"sum(count)={live} != n={self.n} — a re-bin overflowed "
+                    f"the slot structure (raise spec.active/cap)"
+                )
+            drops = self.shell_drop()
+            if drops:
+                raise RuntimeError(
+                    f"active-budget exhaustion during {frames}-frame run: "
+                    f"{drops} needed relay tiles dropped at a re-bin — "
+                    f"physics invalid (raise spec.active)"
+                )
 
     def block_until_ready(self) -> None:
         leaves = jax.tree_util.tree_leaves(

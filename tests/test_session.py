@@ -52,6 +52,25 @@ def test_session_stream_matches_step_frame_across_frames():
     assert sess.live_count() == 512
 
 
+def test_session_fused_run_matches_per_frame():
+    # Session.run(k) fuses k frames into ONE device program (bench timing
+    # path); it must be bit-identical to k frame() calls — same nested
+    # fori body, re-bin conds included — and carry the rebins counter.
+    cfg, p, dom = _case()
+    p2 = jax.tree.map(jnp.copy, p)
+    sa = Session(cfg, dom, p, backend="stream")
+    for _ in range(3):
+        sa.frame()
+    sb = Session(cfg, dom, p2, backend="stream")
+    sb.compile_run(3)  # AOT path: compile off the clock, run uses it
+    sb.run(3)
+    qa, qb = sa.particles(), sb.particles()
+    np.testing.assert_array_equal(np.asarray(qa.pos), np.asarray(qb.pos))
+    np.testing.assert_array_equal(np.asarray(qa.vel), np.asarray(qb.vel))
+    assert sa.rebins() == sb.rebins()
+    assert sb.live_count() == 512
+
+
 def test_session_histogram_matches_unbinned_render():
     cfg, p, dom = _case()
     sess = Session(cfg, dom, p, backend="stream")
