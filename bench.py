@@ -153,6 +153,13 @@ def _maybe_pair(spec, dim):
     if _PAIR:
         cand = dataclasses.replace(spec, pair=True)
         if stx._use_pair(cand, dim):
+            # group=16 under pairing at SMALL budgets (measured 3d-ref frame
+            # ablations: pair+G=16 23.09 ms vs pair 24.23 — pairing halves
+            # NG, so the bigger group's dispatch amortization starts winning
+            # at small N; at 3d-1m's ~26k budget G=16 measured WORSE (46.5
+            # vs 41.8 ms/substep), so the rule is budget-gated)
+            if cand.A <= 2048 and cand.A % 16 == 0:
+                cand = dataclasses.replace(cand, group=16)
             return cand
     return spec
 
@@ -251,7 +258,17 @@ def _stream_spec_big(cfg, dom, n, pos):
     )
 
 
-def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None):
+def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None,
+                 tighten=None):
+    """Time ``frames`` frames.  Returns (pps, s_per_frame, need_peak).
+
+    ``need_peak`` is the stream backend's measured active-budget demand
+    watermark (None for other backends).  ``tighten`` (a prior run's
+    need_peak) caps the probed active budget at 1.35x the measured demand —
+    the race run discovers the demand, the recorded full run stops paying
+    the slack tax (A-shaped XLA glue + re-bin compaction scale with the
+    BUDGET, not the need).  A tightened run that exhausts its budget still
+    fails loudly (shell_drop/conservation) and the caller retries untight."""
     import jax
 
     from fluid_tpu import step
@@ -259,6 +276,7 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None):
 
     mp, ma = step.no_mouse()
     n = p.pos.shape[-2]
+    need = None
 
     if backend == "stream-big":
         # big-tile race candidate (unbatched only): same stream machinery,
@@ -288,6 +306,14 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None):
             n = p.pos.shape[0]
         else:
             spec = spec_override or _stream_spec(cfg, dom, n, pos=p.pos)
+        if tighten is not None and _ACTIVE_MULT is not None:
+            quant = spec.group * 4
+            floor = _ACTIVE_MULT[1]
+            a2 = -(-max(floor, int(tighten * 1.35)) // quant) * quant
+            if a2 < spec.A:
+                print(f"# tightened active budget {spec.A:,} -> {a2:,} "
+                      f"(measured peak need {tighten:,})", file=sys.stderr)
+                spec = _dc.replace(spec, active=a2)
         # persistent binned state ACROSS frames via the library's Session
         # (bin once, un-bin once after the timed loop; Session raises on a
         # t=0 overflow).  strict=False defers the conservation check to
@@ -350,10 +376,9 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None):
             )
         # measured budget demand (VERDICT r4 #5): the watermark lets future
         # rungs be tightened from data instead of discovered by failure
-        print(
-            f"# peak active need {sess.need_peak():,} of budget "
-            f"A={spec.A:,}", file=sys.stderr,
-        )
+        need = sess.need_peak()
+        print(f"# peak active need {need:,} of budget A={spec.A:,}",
+              file=sys.stderr)
         p = jax.block_until_ready(sess.particles())
     else:
         if batch:
@@ -404,7 +429,7 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None):
 
     per_frame = dt / frames
     total = n * (batch or 1) * cfg.iterations * frames
-    return total / dt, per_frame
+    return total / dt, per_frame, (need if backend == "stream" else None)
 
 
 def verify_on_device(dim=3, n=20_000, substeps=2, pair=False, big=False):
@@ -526,12 +551,14 @@ def run_config(name, backend, quick, baselines):
             # measure both and keep the winner)
             backends = (*backends, "stream-big")
         timed = {}
+        needs = {}
         for b in backends:
             for _attempt in range(1 + len(_ACTIVE_MULTS)):
                 try:
                     pcopy = jax.tree.map(lambda a: a.copy(), p)
-                    pps, spf = _bench_frame(cfg, pcopy, dom, max(2, frames // 2), b, batch)
+                    pps, spf, nd = _bench_frame(cfg, pcopy, dom, max(2, frames // 2), b, batch)
                     timed[b] = (pps, spf)
+                    needs[b] = nd
                     print(f"# {name}/{b}: {pps:,.0f} pps", file=sys.stderr)
                     break
                 except Exception as e:  # noqa: BLE001
@@ -540,6 +567,7 @@ def run_config(name, backend, quick, baselines):
                     print(f"# {name}/{b} failed: {type(e).__name__}: {e}", file=sys.stderr)
                     break
         backend, (pps, spf) = max(timed.items(), key=lambda kv: kv[1][0])
+        race_need = needs.get(backend)
         # Record the winner from a FULL-length run, not the short race run:
         # a frames//2 race window under-amortizes the t=0 bin + settling
         # re-bins and is jitter-prone over the tunnel (measured 2d-100k:
@@ -548,15 +576,28 @@ def run_config(name, backend, quick, baselines):
         # keep the race number as a floor if the long run fails or is
         # slower (identical physics, so slower = tunnel jitter, not truth).
         if frames > max(2, frames // 2):
-            for _attempt in range(1 + len(_ACTIVE_MULTS)):
+            # the race measured the budget demand; the full run stops paying
+            # the slack tax.  A tightened run that exhausts its (longer-run)
+            # peak fails loudly -> first retry drops the tightening at the
+            # SAME rung, further failures climb the ladder as before.
+            tighten = race_need
+            for _attempt in range(2 + len(_ACTIVE_MULTS)):
                 try:
                     pcopy = jax.tree.map(lambda a: a.copy(), p)
-                    pps2, spf2 = _bench_frame(cfg, pcopy, dom, frames, backend, batch)
+                    pps2, spf2, _ = _bench_frame(
+                        cfg, pcopy, dom, frames, backend, batch, tighten=tighten
+                    )
                     print(f"# {name}/{backend} full: {pps2:,.0f} pps", file=sys.stderr)
                     if pps2 > pps:
                         pps, spf = pps2, spf2
                     break
                 except Exception as e:  # noqa: BLE001
+                    if tighten is not None:
+                        print(f"# {name}/{backend} full failed TIGHTENED "
+                              f"(need {tighten:,}) — retrying untightened: "
+                              f"{type(e).__name__}: {e}", file=sys.stderr)
+                        tighten = None
+                        continue
                     if _stream_retry(e, backend, f"{name}/{backend} full"):
                         continue
                     print(f"# {name}/{backend} full failed (race number kept): "
@@ -566,7 +607,7 @@ def run_config(name, backend, quick, baselines):
         for _attempt in range(1 + len(_ACTIVE_MULTS)):
             try:
                 pcopy = jax.tree.map(lambda a: a.copy(), p)
-                pps, spf = _bench_frame(cfg, pcopy, dom, frames, backend, batch)
+                pps, spf, _ = _bench_frame(cfg, pcopy, dom, frames, backend, batch)
                 break
             except Exception as e:  # noqa: BLE001
                 if not _stream_retry(e, backend, f"{name}/{backend}"):

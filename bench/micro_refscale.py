@@ -94,6 +94,14 @@ def main():
                 dataclasses.replace(base, pair=True, group=16), f, n)
     run_one("dyn=off", cfg, p, dom,
             dataclasses.replace(base, dyn=False), f, n)
+    if dim == 3:
+        # dyn-bounded Pallas mass halo vs the A-shaped XLA gather — at base
+        # A and at the inflated budgets where the gather's slack tax bites
+        run_one("mhalo=pallas", cfg, p, dom,
+                dataclasses.replace(base, mhalo="pallas"), f, n)
+        run_one("mhalo=pallas active x2", cfg, p, dom,
+                dataclasses.replace(base, mhalo="pallas",
+                                    active=base.active * 2), f, n)
     for mult in (2, 4):
         run_one(f"active x{mult}", cfg, p, dom,
                 dataclasses.replace(base, active=base.active * mult), f, n)

@@ -127,6 +127,15 @@ class StreamSpec:
     # inflation; graded(0.5) matches full at ~1.5% moved —
     # bench/emu_rebin_policy.py).
     rebin_margin: float = 0.0
+    # MASS-halo form (r3 path).  "xla" = the halo_pull gather: 6 full-[A]
+    # row gathers per substep, cost ~0.15-0.2 us per BUDGET tile whether
+    # assigned or not (XLA ops cannot be dynamically bounded) — wins when
+    # the budget is tight (A ~ n_asgn; measured 4.2 vs 5.5 ms at 3d-1m).
+    # "pallas" = the same dyn-bounded separable axis kernels the m+f halo
+    # uses (CH=1, gated nbrg tables): pays ~2x per ROW at 2 KB rows but
+    # only for the n_asgn prefix — wins when the budget carries slack
+    # (peak-unaware rungs, splashy scenes).  bench self-tunes per config.
+    mhalo: str = "xla"
 
     def __post_init__(self):
         if self.cap % 128:
@@ -2463,13 +2472,25 @@ def _substep_core(
         # that layout — zero relayout copies between kernels
         S1 = E3 // 128
         d1 = dep1.reshape(A, GROWS * S1, 128)
-        # mass halo via the XLA gather form: at 2KB rows the Pallas DMA
-        # kernel is latency-bound and LOSES to the gather (measured 8.4 vs
-        # ~4 ms at 3d-1m); the fat m+f rows below keep the kernel path
-        hs_m3 = halo_pull(
-            jnp.where(occ_t, d1[:, :S1], 0.0).reshape(A, E3),
-            st.nbr, tshape, T, E,
-        ).reshape(A, S1, 128)
+        # mass halo: XLA gather form by default (at 2KB rows the Pallas DMA
+        # kernel is latency-bound and LOSES to the gather when the budget is
+        # tight — measured 8.4 vs ~4 ms at 3d-1m), or the dyn-bounded Pallas
+        # axis kernels when spec.mhalo == "pallas" (the gather pays ~0.2 us
+        # per BUDGET tile, slack included; the kernels pay only the n_asgn
+        # prefix).  The occ_t gate zeroes the shell tiles' UNINITIALIZED
+        # dep1 blocks either way (pass-0 "own" rows must read as zero; later
+        # passes see initialized outputs).
+        m_gated = jnp.where(occ_t, d1[:, :S1], 0.0)
+        if spec.mhalo == "pallas":
+            hs_m3 = m_gated
+            for d in range(D):
+                hs_m3 = _make_halo_axis(spec, D, d, 1)(
+                    hs_m3, st.nbrg[2 * d], st.nbrg[2 * d + 1], n_asgn=na
+                )
+        else:
+            hs_m3 = halo_pull(
+                m_gated.reshape(A, E3), st.nbr, tshape, T, E,
+            ).reshape(A, S1, 128)
         mgblk = hs_m3.reshape(NG, G * S1, 128)
         # dep2 emits the COMBINED momentum+force windows (the m+f add is
         # fused in-kernel; halo(mom)+halo(frc) == halo(mom+frc))

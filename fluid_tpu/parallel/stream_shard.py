@@ -400,9 +400,19 @@ def _sharded_substep_core(
         S1 = E3 // 128
         d1 = jnp.where(occ_t, dep1.reshape(A, stx.GROWS * S1, 128), 0.0)
         d1 = _exchange_blocks(d1, ss.col, sspec)
-        hs_m3 = stx.halo_pull(
-            d1[:, :S1].reshape(A, E3), st.nbr, tshape, T, E
-        ).reshape(A, S1, 128)
+        if spec.mhalo == "pallas":
+            # dyn-bounded mass halo (single-chip parity): ghosts are
+            # assigned (occ_force at bin time), so ``na`` covers them and
+            # the ghost-aware nbrg tables stay exact
+            hs_m3 = d1[:, :S1]
+            for d in range(D):
+                hs_m3 = stx._make_halo_axis(spec, D, d, 1)(
+                    hs_m3, st.nbrg[2 * d], st.nbrg[2 * d + 1], n_asgn=na
+                )
+        else:
+            hs_m3 = stx.halo_pull(
+                d1[:, :S1].reshape(A, E3), st.nbr, tshape, T, E
+            ).reshape(A, S1, 128)
         mgblk = hs_m3.reshape(NG, G * S1, 128)
         # dep2 emits COMBINED m+f (d1 momentum added in-kernel); ghost tiles
         # lose their d1 momentum to the count==0 fast path / skipped grid,
