@@ -352,8 +352,14 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None,
         sess.block_until_ready()
         # the whole timed span is ONE device program: at small N a frame is
         # a few ms and the per-dispatch latency (~1-3 ms over the TPU
-        # tunnel) dominates — fuse it away.  AOT-compiled off the clock.
-        sess.compile_run(frames)
+        # tunnel) dominates — fuse it away.  Warm the JIT call path with one
+        # untimed run: Session.compile_run's AOT executable is 2.6x SLOWER
+        # per frame over the axon tunnel than the same program through the
+        # jit call cache (measured 3d-ref: 69 vs 26 ms/frame — it poisoned
+        # a full --config all run before the A/B isolated it), so the warm
+        # span burns `frames` extra frames instead of trusting AOT.
+        sess.run(frames, (mp, ma))
+        sess.block_until_ready()
         t0 = time.perf_counter()
         sess.run(frames, (mp, ma))
         sess.block_until_ready()

@@ -156,7 +156,14 @@ class Session:
         """AOT-compile the ``frames``-frame program without executing it
         (so a timed ``run`` call excludes compilation).  The compiled
         executable is cached and ``run`` uses it directly (a jitted
-        function's call cache is separate from its AOT path)."""
+        function's call cache is separate from its AOT path).
+
+        CAUTION (measured, TPU-over-axon-tunnel): the AOT executable runs
+        ~2.6x SLOWER per frame than the identical program dispatched through
+        the jit call cache (3d-ref: 69 vs 26 ms/frame) — bench.py therefore
+        warms the jit path with an untimed ``run`` instead of calling this.
+        Use it only where compile-off-the-clock matters more than
+        steady-state throughput (e.g. latency-sensitive first frames)."""
         if self.backend != "stream" or frames in self._run_compiled:
             return
         mp, ma = step.no_mouse()
