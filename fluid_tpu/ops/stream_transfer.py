@@ -133,8 +133,11 @@ class StreamSpec:
     # the budget is tight (A ~ n_asgn; measured 4.2 vs 5.5 ms at 3d-1m).
     # "pallas" = the same dyn-bounded separable axis kernels the m+f halo
     # uses (CH=1, gated nbrg tables): pays ~2x per ROW at 2 KB rows but
-    # only for the n_asgn prefix — wins when the budget carries slack
-    # (peak-unaware rungs, splashy scenes).  bench self-tunes per config.
+    # only for the n_asgn prefix.  Measured NEUTRAL at 3d-ref (within the
+    # +-5 ms tunnel jitter band both ways; bench/micro_refscale.py + an
+    # alternated A/B) because the A-residue is the RE-BIN's A-shaped table
+    # builds, not this gather — so bench keeps the default and tightens
+    # budgets instead.
     mhalo: str = "xla"
 
     def __post_init__(self):
