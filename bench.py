@@ -357,9 +357,15 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None,
         # per frame over the axon tunnel than the same program through the
         # jit call cache (measured 3d-ref: 69 vs 26 ms/frame — it poisoned
         # a full --config all run before the A/B isolated it), so the warm
-        # span burns `frames` extra frames instead of trusting AOT.
+        # span burns `frames` extra frames instead of trusting AOT.  The
+        # warm run replays on a snapshot: timing frames k..2k instead of
+        # 0..k changes WHAT is measured (at 3d-1m the pool compacts past
+        # the slot cap by frame ~2k — every ladder rung lost the same 72
+        # particles before this restore existed).
+        snap = sess.snapshot()
         sess.run(frames, (mp, ma))
         sess.block_until_ready()
+        sess.restore(snap)
         t0 = time.perf_counter()
         sess.run(frames, (mp, ma))
         sess.block_until_ready()

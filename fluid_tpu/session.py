@@ -128,6 +128,32 @@ class Session:
             )
         self._frames += 1
 
+    # -- state snapshot -----------------------------------------------------
+
+    def snapshot(self):
+        """Deep-copy the live simulation state (device buffers).
+
+        With ``restore`` this lets a caller replay the SAME frame span
+        through the already-warm jitted program — bench.py warms the k-frame
+        program with one untimed ``run`` (the AOT path is 2.6x slower over
+        the axon tunnel, see ``compile_run``), then restores so the timed
+        span measures frames 0..k, not k..2k: the warm span must not change
+        WHAT is measured (a doubled horizon compacts the 1M pool past the
+        slot cap and shifts re-bin rates)."""
+        src = self._st if self.backend == "stream" else self._p
+        return (self._frames, jax.tree.map(lambda a: a.copy(), src))
+
+    def restore(self, snap) -> None:
+        """Reset to a ``snapshot()``.  Copies again so the snapshot survives
+        repeated restores (``run`` donates the state buffers)."""
+        frames, src = snap
+        cp = jax.tree.map(lambda a: a.copy(), src)
+        if self.backend == "stream":
+            self._st = cp
+        else:
+            self._p = cp
+        self._frames = frames
+
     def _run_fn(self, frames: int):
         """Jitted ``frames``-frame program (cached per k).  One device
         dispatch for the whole span: at small N a frame is a few ms and the

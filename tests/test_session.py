@@ -103,3 +103,25 @@ def test_session_rejects_overflowing_spec():
     tiny = stx.StreamSpec(tile=4, cap=128, halo=2, group=8, active=8, interpret=True)
     with pytest.raises(ValueError, match="overflow"):
         Session(cfg, dom, p, backend="stream", spec=tiny)
+
+
+def test_session_snapshot_restore_replays_bit_identical():
+    """snapshot/restore must replay the SAME span bit-identically through
+    the warm jitted program (bench.py warms `run` untimed, then restores so
+    the timed span measures frames 0..k, not k..2k — the warm span must not
+    change what is measured)."""
+    cfg, p, dom = _case()
+    cfg = cfg.replace(iterations=3)
+    sess = Session(cfg, dom, p, backend="stream", strict=False)
+    sess.frame()
+    snap = sess.snapshot()
+    sess.run(2)
+    a = np.asarray(sess.particles().pos)
+    sess.restore(snap)
+    sess.run(2)
+    b = np.asarray(sess.particles().pos)
+    np.testing.assert_array_equal(a, b)
+    # the snapshot survives a second restore (run donates its input buffers)
+    sess.restore(snap)
+    sess.run(2)
+    np.testing.assert_array_equal(a, np.asarray(sess.particles().pos))
