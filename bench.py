@@ -158,7 +158,10 @@ def _maybe_pair(spec, dim):
             # NG, so the bigger group's dispatch amortization starts winning
             # at small N; at 3d-1m's ~26k budget G=16 measured WORSE (46.5
             # vs 41.8 ms/substep), so the rule is budget-gated)
-            if cand.A <= 2048 and cand.A % 16 == 0:
+            # A must stay a multiple of group*4=64 or _pbatch drops to 2
+            # groups/program, halving the dispatch amortization the G=16
+            # switch is meant to buy (see the _pbatch comment below)
+            if cand.A <= 2048 and cand.A % 64 == 0:
                 cand = dataclasses.replace(cand, group=16)
             return cand
     return spec
@@ -592,7 +595,11 @@ def run_config(name, backend, quick, baselines):
             # the slack tax.  A tightened run that exhausts its (longer-run)
             # peak fails loudly -> first retry drops the tightening at the
             # SAME rung, further failures climb the ladder as before.
-            tighten = race_need
+            # Known-growth scenes (_START_RUNG: batch-64 dams grow ~2.8x and
+            # the budget must cover the PEAK) skip tightening entirely — the
+            # half-length race's need underestimates the longer horizon's
+            # demand and every bench would burn a doomed full run.
+            tighten = None if name in _START_RUNG else race_need
             for _attempt in range(2 + len(_ACTIVE_MULTS)):
                 try:
                     pcopy = jax.tree.map(lambda a: a.copy(), p)

@@ -42,7 +42,7 @@ def main():
     for name, spec in specs.items():
         pcopy = jax.tree.map(lambda a: a.copy(), p)
         try:
-            pps, spf = B._bench_frame(
+            pps, spf, _ = B._bench_frame(
                 cfg, pcopy, dom, args.frames, "stream", batch, spec_override=spec
             )
             print(

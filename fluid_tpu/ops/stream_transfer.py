@@ -149,6 +149,8 @@ class StreamSpec:
             raise ValueError("wchunk must divide cap")
         if self.pair and self.group % 2:
             raise ValueError("pair mode needs an even group (tiles/program)")
+        if self.mhalo not in ("xla", "pallas"):
+            raise ValueError(f"mhalo must be 'xla' or 'pallas', got {self.mhalo!r}")
 
     @property
     def E(self) -> int:

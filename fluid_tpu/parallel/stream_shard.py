@@ -106,6 +106,12 @@ class StreamShardSpec:
             raise ValueError("global x extent not tile-aligned")
         if self.spec.halo > T:
             raise ValueError("ghost-column halo requires halo <= tile")
+        if self.spec.mhalo != "xla":
+            # the sharded pallas mass-halo branch shipped unverified (no
+            # equivalence test) and mhalo='pallas' is measured-neutral
+            # single-chip (CLAUDE.md round 4) — rejected until it is
+            # needed AND tested rather than silently trusted
+            raise ValueError("sharded stream supports mhalo='xla' only")
 
 
 def default_shard_spec(
@@ -400,19 +406,12 @@ def _sharded_substep_core(
         S1 = E3 // 128
         d1 = jnp.where(occ_t, dep1.reshape(A, stx.GROWS * S1, 128), 0.0)
         d1 = _exchange_blocks(d1, ss.col, sspec)
-        if spec.mhalo == "pallas":
-            # dyn-bounded mass halo (single-chip parity): ghosts are
-            # assigned (occ_force at bin time), so ``na`` covers them and
-            # the ghost-aware nbrg tables stay exact
-            hs_m3 = d1[:, :S1]
-            for d in range(D):
-                hs_m3 = stx._make_halo_axis(spec, D, d, 1)(
-                    hs_m3, st.nbrg[2 * d], st.nbrg[2 * d + 1], n_asgn=na
-                )
-        else:
-            hs_m3 = stx.halo_pull(
-                d1[:, :S1].reshape(A, E3), st.nbr, tshape, T, E
-            ).reshape(A, S1, 128)
+        # mass halo is always the XLA gather here (StreamShardSpec rejects
+        # mhalo='pallas': that branch had no sharded equivalence test and
+        # the form is measured-neutral single-chip — CLAUDE.md round 4)
+        hs_m3 = stx.halo_pull(
+            d1[:, :S1].reshape(A, E3), st.nbr, tshape, T, E
+        ).reshape(A, S1, 128)
         mgblk = hs_m3.reshape(NG, G * S1, 128)
         # dep2 emits COMBINED m+f (d1 momentum added in-kernel); ghost tiles
         # lose their d1 momentum to the count==0 fast path / skipped grid,
