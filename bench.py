@@ -107,7 +107,10 @@ def _tiled_spec(cfg, dom, n, batch=None):
 # .pair).  Decided ONCE per bench process: main() verifies pair mode against
 # the dense backend ON THIS PLATFORM first and only then enables it, so an
 # unvalidated Mosaic lowering can never corrupt a recorded headline number.
+# 3D (zfac) and 2D (flat _use_pair2) pairing lower through DIFFERENT kernel
+# branches, so each dimension gets its own verify gate.
 _PAIR = False
+_PAIR2D = False
 
 # Big-tile (T=8) race candidate for 3d-1m: verified on-device in main()
 # before it is allowed into the race (same policy as _PAIR).
@@ -150,7 +153,7 @@ _START_RUNG = {"batch-64": 1}
 def _maybe_pair(spec, dim):
     from fluid_tpu.ops import stream_transfer as stx
 
-    if _PAIR:
+    if _PAIR if dim == 3 else _PAIR2D:
         cand = dataclasses.replace(spec, pair=True)
         if stx._use_pair(cand, dim):
             # group=16 under pairing at SMALL budgets (measured 3d-ref frame
@@ -160,8 +163,10 @@ def _maybe_pair(spec, dim):
             # vs 41.8 ms/substep), so the rule is budget-gated)
             # A must stay a multiple of group*4=64 or _pbatch drops to 2
             # groups/program, halving the dispatch amortization the G=16
-            # switch is meant to buy (see the _pbatch comment below)
-            if cand.A <= 2048 and cand.A % 64 == 0:
+            # switch is meant to buy (see the _pbatch comment below).
+            # 3D-only: the rule was measured at 3d-ref; 2D pair+G sweeps
+            # are a separate measurement (bench/micro_2d_tile.py --pair)
+            if dim == 3 and cand.A <= 2048 and cand.A % 64 == 0:
                 cand = dataclasses.replace(cand, group=16)
             return cand
     return spec
@@ -469,7 +474,7 @@ def verify_on_device(dim=3, n=20_000, substeps=2, pair=False, big=False):
         spec = _stream_spec(cfg, dom, n)
     if pair:
         spec = dataclasses.replace(spec, pair=True)
-        assert stx._use_pair(spec, dim), "pair mode needs the 3D zfac spec"
+        assert stx._use_pair(spec, dim), "pair mode needs zfac (3D) or the flat 2D pair spec"
     mp, ma = step.no_mouse()
 
     @jax.jit
@@ -495,6 +500,94 @@ def verify_on_device(dim=3, n=20_000, substeps=2, pair=False, big=False):
             f"max|dpos|={err_pos:.2e} max|dvel|={err_vel:.2e} (tol 1e-3)"
         )
     return {"pos": err_pos, "vel": err_vel, "n": n, "substeps": substeps}
+
+
+def sharded_sanity(quick: bool = False):
+    """VERDICT r4 #2: prove the sharded stream on real silicon.
+
+    Runs ``sharded_stream_frame`` (pair as verified + dyn grids +
+    ghost-aware nbrg + probed relay-closure budgets) over a 1-device Mesh
+    of the current default device at 3d-1m, against the solo Session on
+    the same scene.  Two deliverables: (a) the sharded kernel variants
+    must COMPILE through Mosaic — this repo has a documented class of
+    interpret-green/Mosaic-fail regressions and all sharded coverage
+    before round 5 was the CPU interpret mesh; (b) the per-device sharding
+    overhead (ghost-forced binning, exchanges-with-self, migration
+    plumbing) — the only component of the 100x memo's x0.8 multi-chip
+    slack measurable on one chip.  Returns a dict for the bench JSON."""
+    import numpy as np
+
+    import jax
+
+    from jax.sharding import Mesh
+
+    from fluid_tpu import step
+    from fluid_tpu.parallel import stream_shard as sh
+    from fluid_tpu.session import Session
+
+    n = 20_000 if quick else 1_000_000
+    frames = 2 if quick else 3
+    cfg, p, dom = _make_scene(3, n)
+    mp, ma = step.no_mouse()
+
+    def solo():
+        spec = _stream_spec(cfg, dom, n, pos=p.pos)
+        sess = Session(
+            cfg, dom, jax.tree.map(lambda a: a.copy(), p), backend="stream",
+            spec=spec, strict=False,
+        )
+        sess.frame((mp, ma))
+        sess.block_until_ready()
+        snap = sess.snapshot()
+        sess.run(frames, (mp, ma))
+        sess.block_until_ready()
+        sess.restore(snap)
+        t0 = time.perf_counter()
+        sess.run(frames, (mp, ma))
+        sess.block_until_ready()
+        dt = time.perf_counter() - t0
+        if sess.live_count() != n or sess.shell_drop():
+            raise RuntimeError("solo run lost particles / dropped relays")
+        return dt / frames
+
+    def sharded():
+        mesh = Mesh(np.array(jax.devices()[:1]), (sh.AXIS,))
+        sspec = sh.default_shard_spec(
+            cfg, dom, 1, n, pos=p.pos, vel=p.vel, pair=_PAIR
+        )
+        sess = sh.ShardedSession(
+            cfg, dom, jax.tree.map(lambda a: a.copy(), p), mesh,
+            sspec=sspec, strict=False,
+        )
+        sess.frame((mp, ma))  # compile + warm (the Mosaic proof is here)
+        sess.block_until_ready()
+        snap = sess.snapshot()
+        sess.run(frames, (mp, ma))
+        sess.block_until_ready()
+        sess.restore(snap)
+        t0 = time.perf_counter()
+        sess.run(frames, (mp, ma))
+        sess.block_until_ready()
+        dt = time.perf_counter() - t0
+        if sess.live_count() != n or sess.shell_drop():
+            raise RuntimeError("sharded run lost particles / dropped relays")
+        return dt / frames
+
+    s_solo = solo()
+    s_sh = sharded()
+    out = {
+        "n": n,
+        "frames": frames,
+        "solo_s_per_frame": round(s_solo, 5),
+        "sharded1_s_per_frame": round(s_sh, 5),
+        "overhead": round(s_sh / s_solo, 3),
+        "pair": _PAIR,
+        "platform": jax.devices()[0].platform,
+    }
+    print(f"# sharded-sanity: solo {s_solo * 1e3:.1f} ms/frame, 1-dev mesh "
+          f"{s_sh * 1e3:.1f} ms/frame -> overhead x{out['overhead']}",
+          file=sys.stderr)
+    return out
 
 
 CONFIGS = {
@@ -537,7 +630,7 @@ def run_config(name, backend, quick, baselines):
     def _stream_retry(e, b, label):
         """Self-tuning failure ladder for stream runs: a failed attempt was
         never recorded, so each rung stays honest.  Returns True to retry."""
-        global _PAIR, _ACTIVE_MULT
+        global _PAIR, _PAIR2D, _ACTIVE_MULT
         if b not in ("stream", "stream-big"):
             return False
         if _ACTIVE_MULT is not None:
@@ -550,12 +643,15 @@ def run_config(name, backend, quick, baselines):
                   f"{type(e).__name__}: {e}", file=sys.stderr)
             _ACTIVE_MULT = nxt
             return True
-        if _PAIR:
+        if _PAIR if dim == 3 else _PAIR2D:
             # a pair-mode failure at scale (e.g. conservation) must never
-            # sink the bench: disable and re-run
-            print(f"# {label} failed under pair mode — disabling pair: "
-                  f"{type(e).__name__}: {e}", file=sys.stderr)
-            _PAIR = False
+            # sink the bench: disable this dimension's pairing and re-run
+            print(f"# {label} failed under pair mode — disabling {dim}D "
+                  f"pair: {type(e).__name__}: {e}", file=sys.stderr)
+            if dim == 3:
+                _PAIR = False
+            else:
+                _PAIR2D = False
             return True
         return False
 
@@ -670,6 +766,12 @@ def main(argv=None):
         "stage passes with it (never trusts an unvalidated lowering)",
     )
     ap.add_argument(
+        "--sharded-sanity", action="store_true",
+        help="run the sharded stream over a 1-device mesh of the current "
+        "device vs solo (Mosaic-lowering proof + per-device sharding "
+        "overhead) and exit",
+    )
+    ap.add_argument(
         "--big", default="off", choices=("auto", "on", "off"),
         help="race the T=8 big-tile stream spec at 3d-1m (measured r3: "
         "130.8 ms/substep vs paired T=4's 36.6 — a 3.6x loss, so the race "
@@ -699,7 +801,7 @@ def main(argv=None):
     import jax
 
     baselines = _load_baseline()
-    global _PAIR
+    global _PAIR, _PAIR2D
     verify = None
     if not args.no_verify:
         verify = verify_on_device(n=4_000 if args.quick else 20_000)
@@ -715,6 +817,16 @@ def main(argv=None):
                       file=sys.stderr)
             except Exception as e:  # noqa: BLE001
                 print(f"# pair mode OFF ({type(e).__name__}: {e})", file=sys.stderr)
+            try:
+                pv2 = verify_on_device(
+                    dim=2, n=4_000 if args.quick else 20_000, pair=True
+                )
+                _PAIR2D = True
+                print(f"# 2D pair mode ON (verified: max|dpos|={pv2['pos']:.2e})",
+                      file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"# 2D pair mode OFF ({type(e).__name__}: {e})",
+                      file=sys.stderr)
         if args.big != "off" and args.config in ("3d-1m", "all") and not degraded:
             global _BIG
             try:
@@ -727,6 +839,14 @@ def main(argv=None):
                       file=sys.stderr)
     elif args.pair == "on":
         _PAIR = True
+        _PAIR2D = True
+    if args.sharded_sanity:
+        out = sharded_sanity(quick=args.quick)
+        print(json.dumps({
+            "metric": "sharded-stream 1-device-mesh overhead vs solo (3d)",
+            "value": out["overhead"], "unit": "x", **out,
+        }))
+        return
     names = list(CONFIGS) if args.config == "all" else [args.config]
     results = [run_config(n, args.backend, args.quick, baselines) for n in names]
 

@@ -54,6 +54,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import types
 from typing import Optional, Tuple
 
 import jax
@@ -383,10 +384,24 @@ ZFAC_G2P = True
 
 
 def _use_pair(spec: "StreamSpec", D: int) -> bool:
-    """Tile pairing rides the zfac dot structure: the pair trick packs tile
-    B's window rows/lanes into the 64..128 half that the E^2 = 64 pair
-    window leaves as zero padding, so it is exactly as general as zfac."""
-    return spec.pair and _use_zfac(spec, D)
+    """Tile pairing packs tile B's window rows/lanes into the 64..128 half
+    that a 64-row window leaves as zero padding.  3D: rides the zfac dot
+    structure (the E^2 = 64 pair window).  2D: the FULL window is E^2 = 64
+    rows, so the flat path pairs directly (_use_pair2)."""
+    return spec.pair and (_use_zfac(spec, D) or _use_pair2(spec, D))
+
+
+def _use_pair2(spec: "StreamSpec", D: int) -> bool:
+    """FLAT-path 2D pairing: requires the production window geometry
+    (E^2 == 64 == half a lane vector, so two tiles' windows fill the
+    EP = 128 dot lanes exactly) and an unchunked window (the pair dot
+    contracts all cap lanes at once)."""
+    return (
+        D == 2
+        and spec.E**2 == 64
+        and not _use_r3(spec, D)
+        and _wchunk(spec, D) == spec.cap
+    )
 
 
 def _use_zfac(spec: "StreamSpec", D: int) -> bool:
@@ -452,6 +467,31 @@ def _kernel_w12p_pair(plains, mA, mB):
     return jnp.pad(w12 * mA[None, :], ((0, 128 - E2), (0, 0))) + jnp.pad(
         w12 * mB[None, :], ((128 - E2, 0), (0, 0))
     )
+
+
+def _kernel_w0_pair(plains, mA, mB, E: int, D: int):
+    """[128, GL] FLAT PAIR window (2D path): rows 0:64 carry tile A's full
+    E^2 = 64-row window with lanes masked to A's slots, rows 64:128 tile
+    B's — the sublane half _pad_rows zero-fills on the solo dot.  One dot
+    against this serves both member tiles: an A-lane's column is zero in
+    rows 64:128 and vice versa, so output lanes 0:64 / 64:128 of the
+    transposed deposit dot (and the window-contraction rows of the g2p
+    dot) separate exactly by member tile."""
+    GL = plains[0].shape[1]
+    W0 = _kernel_window(plains, E, GL, D)  # [E^2 = 64, GL]
+    E2 = E**D
+    return jnp.pad(W0 * mA[None, :], ((0, 128 - E2), (0, 0))) + jnp.pad(
+        W0 * mB[None, :], ((128 - E2, 0), (0, 0))
+    )
+
+
+def _pair_split_lanes(blk):
+    """[R, 128] pair-merged lanes -> (A half in 0:64 zero-extended, B half
+    rolled down to 0:64, both [R, 128] with lanes 64:128 zero)."""
+    l_io = lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+    ba = jnp.where(l_io < 64, blk, 0.0)
+    bb = jnp.where(l_io < 64, pltpu.roll(blk, 64, 1), 0.0)
+    return ba, bb
 
 
 def _zfac_merge_pair(Yz, R: int, E: int):
@@ -660,9 +700,116 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
 
     def kernel(*refs):
         E3 = E**D
-        fn = _one_group_pair if pairmode else _one_group
+        if pairmode:
+            fn = _one_group_pair if zf else _one_group_pair2
+        else:
+            fn = _one_group
         for pb in range(PB):
             fn(refs, pb, pl.program_id(0) * PB + pb, GLW, E3)
+
+    def _one_group_pair2(refs, pb, gg, GL, E3):
+        """FLAT 2D pair layout: slot block jp holds tiles (2jp, 2jp+1)
+        front-packed; one window dot per PAIR with tile A's E^2 = 64 window
+        rows in 0:64 and tile B's in 64:128 (_kernel_w0_pair) — the output
+        lane halves separate by member tile, and the _lane_e_coords decode
+        wraps mod 64 so the deposit fixup is valid on both halves."""
+        if mode == "p2g1":
+            count_ref, tid_ref, stream_ref, out_ref = refs
+        else:
+            count_ref, tid_ref, params_ref, stream_ref, mg_ref, d1_ref, out_ref = refs
+        GP = G // 2
+        l_io = lax.broadcasted_iota(jnp.int32, (1, GL), 1)[0]
+        s_io = l_io % cap
+        grp = l_io // cap  # PAIR index within the group
+        tid_l = jnp.zeros((GL,), jnp.int32)
+        c0_l = jnp.zeros((GL,), jnp.int32)
+        cs_l = jnp.zeros((GL,), jnp.int32)
+        tot = count_ref[gg * G]
+        for jp in range(GP):
+            a0 = gg * G + 2 * jp
+            c0 = count_ref[a0]
+            inp = grp == jp
+            tid_l = jnp.where(
+                inp, jnp.where(s_io < c0, tid_ref[a0], tid_ref[a0 + 1]), tid_l
+            )
+            c0_l = jnp.where(inp, c0, c0_l)
+            cs_l = jnp.where(inp, c0 + count_ref[a0 + 1], cs_l)
+            if jp > 0:
+                tot = tot + count_ref[a0]
+            tot = tot + count_ref[a0 + 1]
+        valid = s_io < cs_l
+
+        @pl.when(tot == 0)
+        def _():
+            out_ref[pb] = jnp.zeros((G * RT, OW), jnp.float32)
+
+        @pl.when(tot > 0)
+        def _():
+            pm = stream_ref[pb]  # [F, GL]
+            plains, bases, dvec = _kernel_profiles_from(
+                [pm[d] for d in range(D)], tid_l, T, E, h, tshape, origin, GL
+            )
+            mA = (valid & (s_io < c0_l)).astype(jnp.float32)
+            mB = (valid & (s_io >= c0_l)).astype(jnp.float32)
+            w0p = _kernel_w0_pair(plains, mA, mB, E, D)  # [128, GL]
+            if mode == "p2g1":
+                U = _deposit_values(pm, valid, dvec, bases, GL, D, h)
+            else:
+                # pair rho: both member tiles' halo'd mass windows ride the
+                # lane halves of ONE [GP, 128] x [128, GL] dot — an A-lane's
+                # w0p column is zero in rows 64:128, so the contraction
+                # selects the owner tile's half automatically
+                mg = mg_ref[pb]  # [G, EP], valid lanes 0:E3, rest zero
+                l1 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                rid = lax.broadcasted_iota(jnp.int32, (GP, 128), 0)
+                Mp = jnp.zeros((GP, 128), jnp.float32)
+                for jp in range(GP):
+                    a = mg[2 * jp : 2 * jp + 1, :]
+                    b = pltpu.roll(mg[2 * jp + 1 : 2 * jp + 2, :], 64, 1)
+                    Mp = jnp.where(rid == jp, jnp.where(l1 < 64, a, b), Mp)
+                Xp = lax.dot_general(
+                    Mp, w0p, (((1,), (0,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )  # [GP, GL]
+                rho = jnp.zeros((GL,), jnp.float32)
+                for jp in range(GP):
+                    rho = jnp.where(grp == jp, Xp[jp], rho)
+                cfg_row = tuple(params_ref[i] for i in range(6))
+                U, _, _ = _p2g2_values(
+                    pm, valid, dvec, bases, rho, cfg_row, GL, D
+                )
+            for jp in range(GP):
+                a0 = gg * G + 2 * jp
+                cp = count_ref[a0] + count_ref[a0 + 1]
+                j0, j1 = 2 * jp, 2 * jp + 1
+
+                @pl.when(cp == 0)
+                def _(j0=j0):
+                    out_ref[pb, j0 * RT : (j0 + 2) * RT, :] = jnp.zeros(
+                        (2 * RT, OW), jnp.float32
+                    )
+
+                @pl.when(cp > 0)
+                def _(jp=jp, j0=j0, j1=j1):
+                    sl = slice(jp * cap, (jp + 1) * cap)
+                    YT = lax.dot_general(
+                        U[:, sl], w0p[:, sl], (((1,), (1,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # [RR, 128] lanes (tb*64 + window e)
+                    blk = _fixup_deposit(YT, E, D, CH, EP)  # [CH, 128]
+                    ba, bb = _pair_split_lanes(blk)
+                    if mode == "p2g2":
+                        # fused m+f: a zero-count member's d1 rows are zero
+                        ba = ba + d1_ref[
+                            pb, j0 * GROWS + 1 : j0 * GROWS + 1 + D, :
+                        ]
+                        bb = bb + d1_ref[
+                            pb, j1 * GROWS + 1 : j1 * GROWS + 1 + D, :
+                        ]
+                    out_ref[pb, j0 * RT : (j0 + 1) * RT, :] = _pad_rows(ba, RT)
+                    out_ref[pb, j1 * RT : (j1 + 1) * RT, :] = _pad_rows(bb, RT)
 
     def _one_group_pair(refs, pb, gg, GL, E3):
         """PAIR layout: slot block jp holds tiles (2jp, 2jp+1) front-packed.
@@ -1030,6 +1177,8 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
     WC = _wchunk(spec, D)  # flat-path window chunk lanes (VMEM budget)
     NCH = cap // WC
     pairmode = _use_pair(spec, D)
+    pair3 = pairmode and zf  # zfac (3D) pairing
+    pair2 = pairmode and not zf  # flat (2D) pairing — see _use_pair2
     GLW = (G // 2) * cap if pairmode else G * cap  # stream lanes per group
     GB = GLW // cap  # slot blocks per group (pairs when pairing)
 
@@ -1094,7 +1243,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
             plains, bases, dvec = _kernel_profiles_from(
                 [pm[d] for d in range(D)], tid_l, T, E, h, tshape, origin, GL
             )
-            if pairmode:
+            if pair3:
                 mA = (valid & (s_io < c0_l)).astype(jnp.float32)
                 mB = (valid & (s_io >= c0_l)).astype(jnp.float32)
                 w12p = _kernel_w12p_pair(plains, mA, mB)  # [128, GL]
@@ -1103,6 +1252,12 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                     lax.broadcasted_iota(jnp.int32, (NBP * S1, 128), 0) // S1
                 )
                 l3 = lax.broadcasted_iota(jnp.int32, (NBP * S1, 128), 1)
+            elif pair2:
+                mA = (valid & (s_io < c0_l)).astype(jnp.float32)
+                mB = (valid & (s_io >= c0_l)).astype(jnp.float32)
+                w0p = _kernel_w0_pair(plains, mA, mB, E, D)  # [128, GL]
+                es = _lane_e_coords(E, D, 1, lanes=128)  # wraps mod E^2=64
+                rid = lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
             elif zf_g2p:
                 w12p = _kernel_w12p(plains, GL)  # [128, G*cap]
                 # r3 e-coord coefficients for the Bcat channel build and the
@@ -1140,7 +1295,52 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                 ).reshape(NBP * S1, 128)
                 return jnp.where(rid3 == (1 + D) * D, repm, Bc)
 
-            if pairmode:
+            if pair2:
+                # per-PAIR flat g2p (2D): both member tiles' Bcat window
+                # values ride the lane halves of ONE [nb, 128] x [128, cap]
+                # dot — an A-slot's w0p column is zero in rows 64:128, so
+                # the contraction reads the owner tile's half
+                for jp in range(GB):
+                    a0 = gg * G + 2 * jp
+                    cp = count_ref[a0] + count_ref[a0 + 1]
+
+                    @pl.when(cp > 0)
+                    def _(jp=jp):
+                        j0, j1 = 2 * jp, 2 * jp + 1
+                        gbA = gblk_ref[pb, j0 * GROWS : j0 * GROWS + 1 + D, :]
+                        gbB = gblk_ref[pb, j1 * GROWS : j1 * GROWS + 1 + D, :]
+                        l1 = lax.broadcasted_iota(
+                            jnp.int32, (1 + D, 128), 1
+                        )
+                        gbP = jnp.where(
+                            l1 < 64, gbA, pltpu.roll(gbB, 64, 1)
+                        )  # [1+D, 128]: A's window in lanes 0:64, B's in 64:
+                        Bcat = jnp.zeros((nb, 128), jnp.float32)
+                        for i in range(D):
+                            vi = gbP[i : i + 1, :]
+                            Bcat = jnp.where(rid == i, vi, Bcat)
+                            for d in range(D):
+                                Bcat = jnp.where(
+                                    rid == (d + 1) * D + i, es[d] * vi, Bcat
+                                )
+                        Bcat = jnp.where(
+                            rid == (1 + D) * D, gbP[D : D + 1, :], Bcat
+                        )
+                        sl = slice(jp * cap, (jp + 1) * cap)
+                        Xj = lax.dot_general(
+                            Bcat, w0p[:, sl], (((1,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )  # [nb, cap]
+                        xsc[:, sl] = _pad_rows(Xj, NBP)
+
+                    @pl.when(cp == 0)
+                    def _(jp=jp):
+                        xsc[:, jp * cap : (jp + 1) * cap] = jnp.zeros(
+                            (NBP, cap), jnp.float32
+                        )
+
+            if pair3:
                 # per-PAIR g2p: both member tiles' Bcat channels ride the
                 # lane halves (tb*64 + yz) of ONE dot per e0-parity
                 for jp in range(GB):
@@ -1359,7 +1559,41 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
                 U = _deposit_values_from(
                     v, Cm_new, jnp.where(valid, mass, 0.0), dvec2, bases2, GL, D
                 )
-                if pairmode:
+                if pair2:
+                    # flat 2D pair deposit from the NEW positions (same
+                    # structure as the deposit kernel's _one_group_pair2)
+                    mA2 = (valid & (s_io < c0_l)).astype(jnp.float32)
+                    mB2 = (valid & (s_io >= c0_l)).astype(jnp.float32)
+                    w0p2 = _kernel_w0_pair(plains2, mA2, mB2, E, D)
+                    for jp in range(GB):
+                        a0 = gg * G + 2 * jp
+                        cp = count_ref[a0] + count_ref[a0 + 1]
+                        j0, j1 = 2 * jp, 2 * jp + 1
+
+                        @pl.when(cp == 0)
+                        def _(j0=j0):
+                            dep_ref[pb, j0 * RT : (j0 + 2) * RT, :] = (
+                                jnp.zeros((2 * RT, OW), jnp.float32)
+                            )
+
+                        @pl.when(cp > 0)
+                        def _(jp=jp, j0=j0, j1=j1):
+                            sl = slice(jp * cap, (jp + 1) * cap)
+                            YT = lax.dot_general(
+                                U[:, sl], w0p2[:, sl],
+                                (((1,), (1,)), ((), ())),
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32,
+                            )  # [RR, 128] lanes (tb*64 + window e)
+                            blk = _fixup_deposit(YT, E, D, 1 + D, EP)
+                            ba, bb = _pair_split_lanes(blk)
+                            dep_ref[pb, j0 * RT : (j0 + 1) * RT, :] = (
+                                _pad_rows(ba, RT)
+                            )
+                            dep_ref[pb, j1 * RT : (j1 + 1) * RT, :] = (
+                                _pad_rows(bb, RT)
+                            )
+                elif pair3:
                     # pair window from the NEW positions; slot->tile
                     # membership is a bin-time property, so mA/mB hold
                     mA2 = (valid & (s_io < c0_l)).astype(jnp.float32)
@@ -2422,6 +2656,188 @@ def _geom(domain: Domain, spec: StreamSpec):
     return tshape, tuple(int(o) for o in domain.origin), nt
 
 
+def substep_stages(cfg: Config, domain: Domain, spec: StreamSpec, fused: bool = False):
+    """Stage closures of the stream substep — the SINGLE definition site
+    shared by ``_substep_core`` (production: composed back-to-back inside
+    one jitted frame) and ``utils.timing.StreamPhaseTimer`` (diagnostic
+    overlay: each stage jitted separately), so the overlay is structurally
+    unable to drift from the production substep (VERDICT r4 #7).
+
+    Returns a namespace of::
+
+      dep1(st)                   -> p2g_1 deposit blocks
+      halo_m(st, dep1v)          -> halo'd mass windows
+                                    (r3: [A, S1, 128]; flat: [A, E^D])
+      dep2(st, dep1v, hs_m)      -> COMBINED momentum+force windows
+      halo_gblk(st, dep2v, hs_m) -> grid-value blocks (v + mass windows)
+      collect(st, gblk, mp, ma)  -> collect-kernel outputs tuple
+                                    (stream', flag[, dep1_next if fused])
+
+    Dynamic-grid bounds are recomputed per call from ``st`` (tid/count only
+    change at re-bins, but the [A] reduces are ~free next to any kernel):
+    ``na`` (assigned = occupied + relay shells) bounds the halo axis
+    passes; ``no`` (occupied only) bounds dep1/dep2/collect/gblk, whose
+    shell outputs are never consumed — see _n_occ.  Count-gates zero the
+    shell tiles' UNINITIALIZED deposit blocks before any halo reads them.
+
+    No edge mask anywhere: positions are clamped to boundary_clip, which
+    sits >= 1 cell inside the dense grid (make_domain enforces
+    halo_cells >= 1), so every stencil deposit lands in-grid; out-of-grid
+    WINDOW cells of edge tiles hold zero deposits on every tile that
+    replicates them, and the halo adds zeros — identical to the reference's
+    dropped-tap semantics (2d_multi.rs:165-167) without any masking work.
+    """
+    D = cfg.dim
+    tshape, origin, nt = _geom(domain, spec)
+    T, E = spec.tile, spec.E
+    EP = spec.EP(D)
+    A, NG, G = spec.A, spec.NG, spec.group
+    E3 = E**D
+
+    dep1_k = make_deposit_kernel(spec, D, tshape, origin, "p2g1")
+    dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
+    coll_k = make_collect_kernel(spec, D, tshape, origin, fused_p2g1=fused)
+    params6 = jnp.asarray(
+        [cfg.dt, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power,
+         cfg.pressure_floor, cfg.dynamic_viscosity],
+        jnp.float32,
+    )
+    g = jnp.asarray(cfg.gravity, jnp.float32)
+
+    def _no(st):
+        return _n_occ(st.count) if spec.dyn else None
+
+    def _na(st):
+        return _n_asgn(st.tid, nt) if spec.dyn else None
+
+    def _occ_t(st):
+        # count-gate for halo inputs: the occupied-bound deposit kernels
+        # leave shell blocks UNINITIALIZED (their true value is zero)
+        return (st.count > 0)[:, None, None]
+
+    def dep1(st):
+        return dep1_k(st.count, st.tid, st.stream, n_asgn=_no(st))
+
+    if _use_r3(spec, D):
+        # rank-3 halo-native path (3D): deposit blocks arrive as
+        # [A, ch*S1, 128]; every glue op below is elementwise/reshape on
+        # that layout — zero relayout copies between kernels
+        S1 = E3 // 128
+
+        def halo_m(st, dep1v):
+            # mass halo: XLA gather form by default (at 2KB rows the Pallas
+            # DMA kernel is latency-bound and LOSES to the gather when the
+            # budget is tight — measured 8.4 vs ~4 ms at 3d-1m), or the
+            # dyn-bounded Pallas axis kernels when spec.mhalo == "pallas"
+            # (the gather pays ~0.2 us per BUDGET tile, slack included; the
+            # kernels pay only the n_asgn prefix).  The occ_t gate zeroes
+            # the shell tiles' UNINITIALIZED dep1 blocks either way (pass-0
+            # "own" rows must read as zero; later passes see initialized
+            # outputs).
+            d1 = dep1v.reshape(A, GROWS * S1, 128)
+            m_gated = jnp.where(_occ_t(st), d1[:, :S1], 0.0)
+            if spec.mhalo == "pallas":
+                hs_m3 = m_gated
+                na = _na(st)
+                for d in range(D):
+                    hs_m3 = _make_halo_axis(spec, D, d, 1)(
+                        hs_m3, st.nbrg[2 * d], st.nbrg[2 * d + 1], n_asgn=na
+                    )
+                return hs_m3
+            return halo_pull(
+                m_gated.reshape(A, E3), st.nbr, tshape, T, E,
+            ).reshape(A, S1, 128)
+
+        def dep2(st, dep1v, hs_m3):
+            # dep2 emits the COMBINED momentum+force windows (the m+f add
+            # is fused in-kernel; halo(mom)+halo(frc) == halo(mom+frc))
+            return dep2_k(
+                st.count, st.tid, st.stream,
+                mgblk=hs_m3.reshape(NG, G * S1, 128), params=params6,
+                d1blk=dep1v, n_asgn=_no(st),
+            )
+
+        def halo_gblk(st, dep2v, hs_m3):
+            mf3 = jnp.where(_occ_t(st), dep2v.reshape(A, D * S1, 128), 0.0)
+            if not spec.interpret:
+                # last axis pass fused with the grid update: emits gblk
+                # directly.  The m+f passes take the GATED neighbor tables
+                # (st.nbrg): a neighbor whose deposit block is provably
+                # still all zero (count == 0 and nothing relayed into it by
+                # earlier passes) is pre-routed to the A sentinel at bin
+                # time, so the kernel skips its DMA — at 3d-1m ~43% of
+                # actives are zero-count shell relays and the halo passes
+                # are DMA-row-bound.  Computing the gate inline costs 6
+                # [A]-row gathers ≈ 5 ms/substep (measured), i.e. exactly
+                # the DMA saving — it MUST live at bin time.
+                na = _na(st)
+                for d in range(D - 1):
+                    mf3 = _make_halo_axis(spec, D, d, D)(
+                        mf3, st.nbrg[2 * d], st.nbrg[2 * d + 1], n_asgn=na
+                    )
+                return _make_halo_gblk(spec, D, D - 1, cfg.dt, cfg.gravity)(
+                    mf3, hs_m3, st.nbrg[2 * (D - 1)],
+                    st.nbrg[2 * (D - 1) + 1], n_asgn=_no(st),
+                ).reshape(NG, G * GROWS * S1, 128)
+            hs_mf3 = halo3(mf3, st.nbr, spec, D, D)
+            mfv = hs_mf3.reshape(A, D, S1, 128)
+            mav = hs_m3[:, None]  # [A, 1, S1, 128]
+            vv = jnp.where(
+                mav > 0.0,
+                mfv / jnp.where(mav > 0.0, mav, 1.0)
+                + cfg.dt * g[None, :, None, None],
+                0.0,
+            )
+            return jnp.concatenate(
+                [vv.reshape(A, D * S1, 128), hs_m3], axis=1
+            ).reshape(NG, G * GROWS * S1, 128)
+
+    else:
+
+        def halo_m(st, dep1v):
+            blk1 = dep1v.reshape(A, GROWS, EP)[:, : 1 + D, :E3]
+            blk1 = jnp.where(_occ_t(st), blk1, 0.0)
+            # halo only the MASS channel (p2g_2 needs it); the momentum
+            # halo rides the force halo below (dep2 emits COMBINED m+f;
+            # halo is linear)
+            return halo_stream(blk1[:, 0, :], st.nbr, tshape, spec, D, 1)
+
+        def dep2(st, dep1v, hs_m):
+            mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
+            return dep2_k(
+                st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
+                d1blk=dep1v, n_asgn=_no(st),
+            )
+
+        def halo_gblk(st, dep2v, hs_m):
+            blk2 = dep2v.reshape(A, D, EP)[:, :, :E3]  # [A, D, E3] (m+f)
+            blk2 = jnp.where(_occ_t(st), blk2, 0.0)
+            hs_mf = halo_stream(
+                blk2.reshape(A, D * E3), st.nbr, tshape, spec, D, D
+            )
+            mf = hs_mf.reshape(A, D, E3)
+            ma_ = hs_m.reshape(A, 1, E3)
+            v = jnp.where(
+                ma_ > 0.0,
+                mf / jnp.where(ma_ > 0.0, ma_, 1.0) + cfg.dt * g[None, :, None],
+                0.0,
+            )
+            gblk = jnp.concatenate([v, ma_], axis=1)  # [A, 1+D, E3]
+            gblk = jnp.pad(gblk, ((0, 0), (0, GROWS - 1 - D), (0, EP - E3)))
+            return gblk.reshape(NG, G * GROWS, EP)
+
+    def collect(st, gblk, mouse_pos, mouse_active):
+        params = _collect_params(
+            cfg, mouse_pos, mouse_active, D, spec.scene_stride
+        )
+        return coll_k(st.count, st.tid, params, st.stream, gblk, n_asgn=_no(st))
+
+    return types.SimpleNamespace(
+        dep1=dep1, halo_m=halo_m, dep2=dep2, halo_gblk=halo_gblk,
+        collect=collect,
+    )
+
+
 def _substep_core(
     st: StreamState,
     dep1,
@@ -2436,135 +2852,15 @@ def _substep_core(
 
     ``fused=True`` uses the collect kernel that also emits the NEXT
     substep's p2g_1 (valid only while no drift flag fires); returns
-    (state, dep1_next-or-None)."""
+    (state, dep1_next-or-None).  The stage bodies live in
+    ``substep_stages`` — ONE definition site shared with the timing
+    overlay."""
     D = cfg.dim
-    tshape, origin, nt = _geom(domain, spec)
-    T, E, h = spec.tile, spec.E, spec.halo
-    EP = spec.EP(D)
-
-    dep2_k = make_deposit_kernel(spec, D, tshape, origin, "p2g2")
-    coll_k = make_collect_kernel(spec, D, tshape, origin, fused_p2g1=fused)
-    # dynamic-grid bounds: two [A] reduces, recomputed per substep (tid/count
-    # only change at re-bins, but the reduces are ~free next to any kernel).
-    # ``na`` (assigned = occupied + relay shells) bounds the halo axis
-    # passes; ``no`` (occupied only) bounds dep2/collect/gblk, whose shell
-    # outputs are never consumed — see _n_occ.
-    na = _n_asgn(st.tid, nt) if spec.dyn else None
-    no = _n_occ(st.count) if spec.dyn else None
-    # count-gate for halo inputs: the occupied-bound deposit kernels leave
-    # shell blocks UNINITIALIZED (their true value is zero — no particles)
-    occ_t = (st.count > 0)[:, None, None]
-
-    # No edge mask: positions are clamped to boundary_clip, which sits >= 1
-    # cell inside the dense grid (make_domain enforces halo_cells >= 1), so
-    # every stencil deposit lands in-grid; out-of-grid WINDOW cells of edge
-    # tiles hold zero deposits on every tile that replicates them, and the
-    # halo adds zeros — identical to the reference's dropped-tap semantics
-    # (2d_multi.rs:165-167) without any masking work.
-
-    # ---- p2g_1 ------------------------------------------------------------
-    A, NG, G = spec.A, spec.NG, spec.group
-    E3 = E**D
-    params6 = jnp.asarray(
-        [cfg.dt, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power,
-         cfg.pressure_floor, cfg.dynamic_viscosity],
-        jnp.float32,
-    )
-    g = jnp.asarray(cfg.gravity, jnp.float32)
-    if _use_r3(spec, D):
-        # rank-3 halo-native path (3D): deposit blocks arrive as
-        # [A, ch*S1, 128]; every glue op below is elementwise/reshape on
-        # that layout — zero relayout copies between kernels
-        S1 = E3 // 128
-        d1 = dep1.reshape(A, GROWS * S1, 128)
-        # mass halo: XLA gather form by default (at 2KB rows the Pallas DMA
-        # kernel is latency-bound and LOSES to the gather when the budget is
-        # tight — measured 8.4 vs ~4 ms at 3d-1m), or the dyn-bounded Pallas
-        # axis kernels when spec.mhalo == "pallas" (the gather pays ~0.2 us
-        # per BUDGET tile, slack included; the kernels pay only the n_asgn
-        # prefix).  The occ_t gate zeroes the shell tiles' UNINITIALIZED
-        # dep1 blocks either way (pass-0 "own" rows must read as zero; later
-        # passes see initialized outputs).
-        m_gated = jnp.where(occ_t, d1[:, :S1], 0.0)
-        if spec.mhalo == "pallas":
-            hs_m3 = m_gated
-            for d in range(D):
-                hs_m3 = _make_halo_axis(spec, D, d, 1)(
-                    hs_m3, st.nbrg[2 * d], st.nbrg[2 * d + 1], n_asgn=na
-                )
-        else:
-            hs_m3 = halo_pull(
-                m_gated.reshape(A, E3), st.nbr, tshape, T, E,
-            ).reshape(A, S1, 128)
-        mgblk = hs_m3.reshape(NG, G * S1, 128)
-        # dep2 emits the COMBINED momentum+force windows (the m+f add is
-        # fused in-kernel; halo(mom)+halo(frc) == halo(mom+frc))
-        dep2 = dep2_k(
-            st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
-            d1blk=dep1, n_asgn=no,
-        )
-        mf3 = jnp.where(occ_t, dep2.reshape(A, D * S1, 128), 0.0)
-        if not spec.interpret:
-            # last axis pass fused with the grid update: emits gblk directly.
-            # The m+f passes take the GATED neighbor tables (st.nbrg):
-            # a neighbor whose deposit block is provably still all zero
-            # (count == 0 and nothing relayed into it by earlier passes) is
-            # pre-routed to the A sentinel at bin time, so the kernel skips
-            # its DMA — at 3d-1m ~43% of actives are zero-count shell relays
-            # and the halo passes are DMA-row-bound.  Computing the gate
-            # inline costs 6 [A]-row gathers ≈ 5 ms/substep (measured), i.e.
-            # exactly the DMA saving — it MUST live at bin time.
-            for d in range(D - 1):
-                mf3 = _make_halo_axis(spec, D, d, D)(
-                    mf3, st.nbrg[2 * d], st.nbrg[2 * d + 1], n_asgn=na
-                )
-            gblk = _make_halo_gblk(spec, D, D - 1, cfg.dt, cfg.gravity)(
-                mf3, hs_m3, st.nbrg[2 * (D - 1)], st.nbrg[2 * (D - 1) + 1],
-                n_asgn=no,
-            ).reshape(NG, G * GROWS * S1, 128)
-        else:
-            hs_mf3 = halo3(mf3, st.nbr, spec, D, D)
-            mfv = hs_mf3.reshape(A, D, S1, 128)
-            mav = hs_m3[:, None]  # [A, 1, S1, 128]
-            vv = jnp.where(
-                mav > 0.0,
-                mfv / jnp.where(mav > 0.0, mav, 1.0)
-                + cfg.dt * g[None, :, None, None],
-                0.0,
-            )
-            gblk = jnp.concatenate(
-                [vv.reshape(A, D * S1, 128), hs_m3], axis=1
-            ).reshape(NG, G * GROWS * S1, 128)
-    else:
-        blk1 = dep1.reshape(A, GROWS, EP)[:, : 1 + D, :E3]  # [A, 1+D, E3]
-        blk1 = jnp.where(occ_t, blk1, 0.0)
-        # halo only the MASS channel (p2g_2 needs it); the momentum halo
-        # rides the force halo below (dep2 emits COMBINED m+f; halo linear)
-        hs_m = halo_stream(blk1[:, 0, :], st.nbr, tshape, spec, D, 1)
-        mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
-        dep2 = dep2_k(
-            st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
-            d1blk=dep1, n_asgn=no,
-        )
-        blk2 = dep2.reshape(A, D, EP)[:, :, :E3]  # [A, D, E3] (m+f)
-        blk2 = jnp.where(occ_t, blk2, 0.0)
-        hs_mf = halo_stream(
-            blk2.reshape(A, D * E3), st.nbr, tshape, spec, D, D
-        )
-        mf = hs_mf.reshape(A, D, E3)
-        ma_ = hs_m.reshape(A, 1, E3)
-        v = jnp.where(
-            ma_ > 0.0,
-            mf / jnp.where(ma_ > 0.0, ma_, 1.0) + cfg.dt * g[None, :, None],
-            0.0,
-        )
-        gblk = jnp.concatenate([v, ma_], axis=1)  # [A, 1+D, E3]
-        gblk = jnp.pad(gblk, ((0, 0), (0, GROWS - 1 - D), (0, EP - E3)))
-        gblk = gblk.reshape(NG, G * GROWS, EP)
-
-    # ---- g2p + tail --------------------------------------------------------
-    params = _collect_params(cfg, mouse_pos, mouse_active, D, spec.scene_stride)
-    outs = coll_k(st.count, st.tid, params, st.stream, gblk, n_asgn=no)
+    stages = substep_stages(cfg, domain, spec, fused=fused)
+    hs_m = stages.halo_m(st, dep1)
+    d2 = stages.dep2(st, dep1, hs_m)
+    gblk = stages.halo_gblk(st, d2, hs_m)
+    outs = stages.collect(st, gblk, mouse_pos, mouse_active)
     new_stream, flag = outs[0], outs[1]
     dep1_next = outs[2] if fused else None
     if spec.dyn:
@@ -2576,7 +2872,7 @@ def _substep_core(
         if _use_pair(spec, D):
             occ_e = occ_e[0::2] | occ_e[1::2]
         GB = flag.shape[1]
-        flag = jnp.where(occ_e.reshape(NG, GB, 1), flag, 0.0)
+        flag = jnp.where(occ_e.reshape(spec.NG, GB, 1), flag, 0.0)
     st2 = StreamState(
         stream=new_stream, count=st.count, tid=st.tid, flag=flag, nbr=st.nbr,
         nbrg=st.nbrg, shell_drop=st.shell_drop, need_peak=st.need_peak,

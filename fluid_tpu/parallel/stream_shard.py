@@ -837,10 +837,23 @@ class ShardedSession:
         self._ss = shard_stream(p, cfg, self.sspec, mesh)
         self._frames = 0
         self.rebins = 0  # cumulative drift re-bins across frames
+        self._run_fns = {}  # frames -> jitted k-frame shard_map program
+
+    def _check(self, label: str) -> None:
+        live = int(np.asarray(self._ss.st.count).sum())
+        if live != self.n:
+            raise RuntimeError(
+                f"particle loss {label}: sum(count)={live} != n={self.n} "
+                f"(raise spec.active/cap)"
+            )
+        drops = int(np.asarray(self._ss.st.shell_drop).max())
+        if drops:
+            raise RuntimeError(
+                f"active-budget exhaustion {label}: {drops} relay tiles "
+                f"dropped on a shard (raise spec.active)"
+            )
 
     def frame(self, mouse=None) -> None:
-        import jax
-
         from .. import step as step_mod
 
         mp, ma = mouse if mouse is not None else step_mod.no_mouse()
@@ -850,19 +863,79 @@ class ShardedSession:
         self.rebins += int(nrb)
         self._frames += 1
         if self.strict:
-            live = int(np.asarray(self._ss.st.count).sum())
-            if live != self.n:
-                raise RuntimeError(
-                    f"particle loss at frame {self._frames}: "
-                    f"sum(count)={live} != n={self.n} (raise spec.active/cap)"
+            self._check(f"at frame {self._frames}")
+
+    # -- fused spans + replay (round-4 Session upgrades, VERDICT r4 #6) -----
+
+    def snapshot(self):
+        """Deep-copy the live per-device state; with ``restore`` a caller
+        replays the SAME frame span through the already-warm jitted program
+        (the warm-run-then-restore timing discipline Session.run uses —
+        sharded benchmarks must not re-learn the dispatch-latency and
+        warm-span pitfalls, see Session.snapshot)."""
+        return (
+            self._frames,
+            self.rebins,
+            jax.tree.map(lambda a: a.copy(), self._ss),
+        )
+
+    def restore(self, snap) -> None:
+        """Reset to a ``snapshot()``.  Copies again so the snapshot
+        survives repeated restores (``run`` donates the state buffers)."""
+        self._frames, self.rebins, src = snap
+        self._ss = jax.tree.map(lambda a: a.copy(), src)
+
+    def _run_fn(self, frames: int):
+        """Jitted ``frames``-frame program (cached per k): the whole span is
+        ONE device dispatch — per-frame dispatch pays ~1-3 ms of tunnel
+        latency plus a strict host sync every frame."""
+        fn = self._run_fns.get(frames)
+        if fn is None:
+            cfg, sspec = self.cfg, self.sspec
+
+            def local(ss, mp, ma):
+                def body(_, carry):
+                    ss, rb = carry
+                    ss, nrb = sharded_frame_binned(ss, cfg, sspec, mp, ma)
+                    return ss, rb + nrb
+
+                return lax.fori_loop(
+                    0, frames, body, (ss, jnp.zeros((), jnp.int32))
                 )
-            drops = int(np.asarray(self._ss.st.shell_drop).max())
-            if drops:
-                raise RuntimeError(
-                    f"active-budget exhaustion at frame {self._frames}: "
-                    f"{drops} relay tiles dropped on a shard (raise "
-                    f"spec.active)"
-                )
+
+            fn = jax.jit(
+                jax.shard_map(
+                    local, mesh=self.mesh, in_specs=(P(AXIS), P(), P()),
+                    out_specs=(P(AXIS), P()), check_vma=False,
+                ),
+                donate_argnums=0,
+            )
+            self._run_fns[frames] = fn
+        return fn
+
+    def run(self, frames: int, mouse=None) -> None:
+        """Advance ``frames`` frames in ONE device program.  ``mouse``
+        applies to every frame in the span — interactive use wants
+        ``frame()``."""
+        from .. import step as step_mod
+
+        mp, ma = mouse if mouse is not None else step_mod.no_mouse()
+        self._ss, nrb = self._run_fn(frames)(self._ss, mp, ma)
+        self.rebins += int(nrb)
+        self._frames += frames
+        if self.strict:
+            self._check(f"during {frames}-frame run")
+
+    # -- watermarks (Session parity) ----------------------------------------
+
+    def live_count(self) -> int:
+        return int(np.asarray(self._ss.st.count).sum())
+
+    def shell_drop(self) -> int:
+        return int(np.asarray(self._ss.st.shell_drop).max())
+
+    def need_peak(self) -> int:
+        return int(np.asarray(self._ss.st.need_peak).max())
 
     def block_until_ready(self) -> None:
         import jax

@@ -105,115 +105,18 @@ class StreamPhaseTimer:
         from ..ops import stream_transfer as stx
 
         self.cfg = cfg
-        D = cfg.dim
         tshape, origin, nt = stx._geom(domain, spec)
-        T, E, EP, E3 = spec.tile, spec.E, spec.EP(D), spec.E**D
-        A, NG, G = spec.A, spec.NG, spec.group
-        GROWS = stx.GROWS
-        r3 = stx._use_r3(spec, D)
-        dep1_k = stx.make_deposit_kernel(spec, D, tshape, origin, "p2g1")
-        dep2_k = stx.make_deposit_kernel(spec, D, tshape, origin, "p2g2")
-        coll_k = stx.make_collect_kernel(spec, D, tshape, origin)
-        params6 = jnp.asarray(
-            [cfg.dt, cfg.rest_density, cfg.eos_stiffness, cfg.eos_power,
-             cfg.pressure_floor, cfg.dynamic_viscosity],
-            jnp.float32,
+        # the PRODUCTION stage closures (round 5: one definition site —
+        # _substep_core composes these same functions, so the overlay can
+        # never drift from what the fused frame actually runs)
+        stages = stx.substep_stages(cfg, domain, spec, fused=False)
+        self._dep1 = jax.jit(stages.dep1)
+        self._halo_m = jax.jit(stages.halo_m)
+        self._dep2 = jax.jit(stages.dep2)
+        self._halo_gblk = jax.jit(stages.halo_gblk)
+        self._collect = jax.jit(
+            lambda st, gblk, mp, ma: stages.collect(st, gblk, mp, ma)[0]
         )
-        gvec = jnp.asarray(cfg.gravity, jnp.float32)
-
-        def _no(st):
-            return stx._n_occ(st.count) if spec.dyn else None
-
-        def dep1(st):
-            return dep1_k(st.count, st.tid, st.stream, n_asgn=_no(st))
-
-        if r3:
-            S1 = E3 // 128
-
-            def halo_m(st, d1v):
-                occ_t = (st.count > 0)[:, None, None]
-                d1 = jnp.where(occ_t, d1v.reshape(A, GROWS * S1, 128), 0.0)
-                return stx.halo_pull(
-                    d1[:, :S1].reshape(A, E3), st.nbr, tshape, T, E
-                ).reshape(A, S1, 128)
-
-            def dep2(st, d1v, hs_m3):
-                return dep2_k(
-                    st.count, st.tid, st.stream,
-                    mgblk=hs_m3.reshape(NG, G * S1, 128), params=params6,
-                    d1blk=d1v, n_asgn=_no(st),
-                )
-
-            def halo_gblk(st, d2v, hs_m3):
-                occ_t = (st.count > 0)[:, None, None]
-                mf3 = jnp.where(occ_t, d2v.reshape(A, D * S1, 128), 0.0)
-                if not spec.interpret:
-                    na = stx._n_asgn(st.tid, nt) if spec.dyn else None
-                    for d in range(D - 1):
-                        mf3 = stx._make_halo_axis(spec, D, d, D)(
-                            mf3, st.nbrg[2 * d], st.nbrg[2 * d + 1], n_asgn=na
-                        )
-                    return stx._make_halo_gblk(spec, D, D - 1, cfg.dt, cfg.gravity)(
-                        mf3, hs_m3, st.nbrg[2 * (D - 1)],
-                        st.nbrg[2 * (D - 1) + 1], n_asgn=_no(st),
-                    ).reshape(NG, G * GROWS * S1, 128)
-                hs_mf3 = stx.halo3(mf3, st.nbr, spec, D, D)
-                mfv = hs_mf3.reshape(A, D, S1, 128)
-                mav = hs_m3[:, None]
-                vv = jnp.where(
-                    mav > 0.0,
-                    mfv / jnp.where(mav > 0.0, mav, 1.0)
-                    + cfg.dt * gvec[None, :, None, None],
-                    0.0,
-                )
-                return jnp.concatenate(
-                    [vv.reshape(A, D * S1, 128), hs_m3], axis=1
-                ).reshape(NG, G * GROWS * S1, 128)
-        else:
-
-            def halo_m(st, d1v):
-                occ_t = (st.count > 0)[:, None, None]
-                blk1 = jnp.where(
-                    occ_t, d1v.reshape(A, GROWS, EP)[:, : 1 + D, :E3], 0.0
-                )
-                return stx.halo_stream(blk1[:, 0, :], st.nbr, tshape, spec, D, 1)
-
-            def dep2(st, d1v, hs_m):
-                mgblk = jnp.pad(hs_m, ((0, 0), (0, EP - E3))).reshape(NG, G, EP)
-                return dep2_k(
-                    st.count, st.tid, st.stream, mgblk=mgblk, params=params6,
-                    d1blk=d1v, n_asgn=_no(st),
-                )
-
-            def halo_gblk(st, d2v, hs_m):
-                occ_t = (st.count > 0)[:, None, None]
-                blk2 = jnp.where(occ_t, d2v.reshape(A, D, EP)[:, :, :E3], 0.0)
-                hs_mf = stx.halo_stream(
-                    blk2.reshape(A, D * E3), st.nbr, tshape, spec, D, D
-                )
-                mf = hs_mf.reshape(A, D, E3)
-                ma_ = hs_m.reshape(A, 1, E3)
-                v = jnp.where(
-                    ma_ > 0.0,
-                    mf / jnp.where(ma_ > 0.0, ma_, 1.0)
-                    + cfg.dt * gvec[None, :, None],
-                    0.0,
-                )
-                gb = jnp.concatenate([v, ma_], axis=1)
-                gb = jnp.pad(gb, ((0, 0), (0, GROWS - 1 - D), (0, EP - E3)))
-                return gb.reshape(NG, G * GROWS, EP)
-
-        def collect(st, gblk, mp, ma):
-            params = stx._collect_params(cfg, mp, ma, D, spec.scene_stride)
-            return coll_k(
-                st.count, st.tid, params, st.stream, gblk, n_asgn=_no(st)
-            )[0]
-
-        self._dep1 = jax.jit(dep1)
-        self._halo_m = jax.jit(halo_m)
-        self._dep2 = jax.jit(dep2)
-        self._halo_gblk = jax.jit(halo_gblk)
-        self._collect = jax.jit(collect)
         self._rebin = jax.jit(
             functools.partial(
                 stx._rebin_full, cfg=cfg, domain=domain, spec=spec,

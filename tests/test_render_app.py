@@ -57,3 +57,13 @@ def test_app_headless_timing_overlay():
     text = out.getvalue()
     for label in ("p2g 1", "p2g 2", "update", "g2p"):
         assert f"{label}:" in text
+
+
+def test_app_headless_sharded_smoke():
+    """--shards N surface (VERDICT r4 #5): the multi-chip path has the
+    reference's interactive loop (2d_multi.rs:518-539) behind one flag."""
+    out = io.StringIO()
+    app_run(dim=2, n=192, frames=1, headless=True, shards=2, out=out)
+    text = out.getvalue()
+    assert "--- frame 0 ---" in text
+    assert any(c in text for c in ".-=*%$#")

@@ -148,6 +148,57 @@ def test_stream_pair_matches_dense():
     )
 
 
+def test_stream_pair2d_matches_dense():
+    """FLAT 2D pair mode (round 5): the 2D window is E^2 = 64 rows — two
+    tiles' windows fill the 128 dot lanes exactly (_kernel_w0_pair), one
+    window dot per pair in deposit/g2p/fused-p2g1.  Same coverage as the 3D
+    pair test: bin round-trip, one substep vs dense, re-binning frame."""
+    cfg, p, dom = _small_case(2, 256, seed=0, world=16.0)
+    import dataclasses as _dc
+
+    spec = _dc.replace(_spec(cfg, dom, 256, group=4), pair=True)
+    assert stx._use_pair(spec, 2) and stx._use_pair2(spec, 2)
+    mp, ma = step.no_mouse()
+
+    st = stx.bin_particles(p, dom, spec, dt=cfg.dt)
+    assert int(st.count.sum()) == 256, "pairing lost particles at bin time"
+    c = np.asarray(st.count)
+    assert ((c[0::2] + c[1::2]) <= spec.cap).all()
+    q = stx.unbin(st, dom, spec, 256, 2)
+    np.testing.assert_allclose(np.asarray(q.pos), np.asarray(p.pos), atol=0)
+    np.testing.assert_allclose(np.asarray(q.vel), np.asarray(p.vel), atol=0)
+
+    a, ga = jax.jit(lambda r: step.substep(r, cfg, dom, mp, ma, backend="dense"))(p)
+    b, gb = jax.jit(lambda r: stx.substep(r, cfg, dom, mp, ma, spec))(p)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.density), np.asarray(b.density), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga.mass), np.asarray(gb.mass), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga.vel), np.asarray(gb.vel), atol=1e-4)
+
+    # fast-particle frame: fused collect + pair-aware re-bins
+    cfg2, p2, dom2 = _small_case(2, 256, seed=1, vel_scale=4.0, world=16.0)
+    spec2 = _dc.replace(_spec(cfg2, dom2, 256, group=2), pair=True)
+    substeps = 6
+
+    @jax.jit
+    def run_dense(q):
+        def body(_, q):
+            return step.substep(q, cfg2, dom2, mp, ma)[0]
+
+        return jax.lax.fori_loop(0, substeps, body, q)
+
+    a2 = run_dense(p2)
+    b2 = stx.frame(p2, cfg2, dom2, mp, ma, spec2, substeps=substeps)
+    np.testing.assert_allclose(np.asarray(a2.pos), np.asarray(b2.pos), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a2.vel), np.asarray(b2.vel), atol=1e-3)
+    np.testing.assert_allclose(
+        float(np.asarray(b2.mass).sum()), float(np.asarray(p2.mass).sum()),
+        rtol=1e-6,
+    )
+
+
 def test_stream_mhalo_pallas_matches_dense():
     """spec.mhalo == "pallas" (dyn-bounded separable mass halo through the
     GATED nbrg tables, replacing the halo_pull gather) must be physics-

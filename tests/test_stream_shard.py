@@ -164,3 +164,19 @@ def test_sharded_session_interactive():
     out = sess.particles()  # asserts conservation internally
     assert out.pos.shape == (p.n, 3)
     assert bool(jnp.isfinite(out.pos).all())
+
+    # round-4 Session upgrades on the sharded twin (VERDICT r4 #6): a
+    # k-frame fused run, and bit-identical snapshot/restore replay through
+    # the SAME warm program — the timing discipline sharded benchmarks need
+    snap = sess.snapshot()
+    sess.run(2)
+    first = jax.tree.map(np.asarray, sess._ss)
+    f1, r1 = sess._frames, sess.rebins
+    sess.restore(snap)
+    sess.run(2)
+    second = jax.tree.map(np.asarray, sess._ss)
+    assert sess._frames == f1 and sess.rebins == r1
+    for a, b in zip(jax.tree.leaves(first), jax.tree.leaves(second)):
+        np.testing.assert_array_equal(a, b)
+    assert sess.live_count() == p.n and sess.shell_drop() == 0
+    assert sess.need_peak() > 0
