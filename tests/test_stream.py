@@ -202,21 +202,13 @@ def test_stream_pair2d_matches_dense():
 def test_stream_mhalo_pallas_matches_dense():
     """spec.mhalo == "pallas" (dyn-bounded separable mass halo through the
     GATED nbrg tables, replacing the halo_pull gather) must be physics-
-    identical: one 3D substep vs dense, then a fast-particle frame whose
-    drift re-bins rebuild nbrg mid-run."""
+    identical: a fast-particle frame vs dense, whose drift re-bins rebuild
+    nbrg mid-run.  One geometry only (suite budget, round 5): the frame is
+    a strict superset of the old single-substep check — every substep runs
+    the mhalo=pallas axis kernels."""
     import dataclasses as _dc
 
-    cfg, p, dom = _small_case(3, 256, seed=0, world=16.0)
-    spec = _dc.replace(_spec(cfg, dom, 256, group=2), mhalo="pallas")
-    assert stx._use_r3(spec, 3)
     mp, ma = step.no_mouse()
-    a, ga = jax.jit(lambda r: step.substep(r, cfg, dom, mp, ma, backend="dense"))(p)
-    b, gb = jax.jit(lambda r: stx.substep(r, cfg, dom, mp, ma, spec))(p)
-    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ga.mass), np.asarray(gb.mass), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(ga.vel), np.asarray(gb.vel), atol=1e-4)
-
     cfg2, p2, dom2 = _small_case(3, 192, seed=1, vel_scale=4.0, world=12.0)
     spec2 = _dc.replace(_spec(cfg2, dom2, 192, group=2), mhalo="pallas")
     substeps = 6
@@ -332,12 +324,14 @@ def test_packed_scenes_match_per_scene_dense():
     from fluid_tpu import scene as scene_mod
     from fluid_tpu.config import default_3d
 
+    # 12-unit worlds (round 5 suite budget): interpret trace cost scales
+    # with the packed domain's tile count; 2x12 packs to ~60% of 2x16
     cfg = default_3d().replace(
-        boundary_clip=((0.0,) * 3, (16.0,) * 3), grid_res=12
+        boundary_clip=((0.0,) * 3, (12.0,) * 3), grid_res=12
     )
     B, n = 2, 96
     key = jax.random.key(5)
-    pos = jax.random.uniform(key, (B, n, 3), jnp.float32, 4.0, 12.0)
+    pos = jax.random.uniform(key, (B, n, 3), jnp.float32, 3.0, 9.0)
     pb = jax.vmap(ParticleState.create)(pos)
     vel = jax.random.normal(jax.random.key(6), pb.vel.shape) * 2.0
     import dataclasses as _dc

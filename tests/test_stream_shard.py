@@ -78,7 +78,10 @@ def test_sharded_stream_pair_matches_dense():
     """Single-chip parity (VERDICT r3 #2): the sharded path with TILE
     PAIRING + the probed relay-closure budget + dynamic occupied-only
     grids must match dense through re-bins and migration."""
-    cfg, p, dom = _case(seed=5)
+    # world=16 (round 5 suite budget): interpret trace scales with the
+    # local tile count; 6 x-tiles over 4 slabs still exercises ts=2 slabs,
+    # ghost exchange and cross-slab migration
+    cfg, p, dom = _case(n=256, seed=5, world=16.0)
     n = p.n
     s = 4
     sspec = sh.default_shard_spec(
