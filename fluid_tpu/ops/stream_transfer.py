@@ -655,10 +655,18 @@ def _fixup_deposit(YT, E: int, D: int, CH: int, EP: int):
     return blk
 
 
-def _pbatch(NG: int) -> int:
+def _pbatch(NG: int, interpret: bool = False) -> int:
     """Groups per kernel program: per-program dispatch is ~550 ns, so at
     NG=4096 one group/program burns ~2.3 ms/kernel; batching 4 amortizes
-    it while keeping blocks comfortably inside VMEM."""
+    it while keeping blocks comfortably inside VMEM.
+
+    Interpret mode (the CPU test path) returns 1: there is no dispatch to
+    amortize, and interpret trace cost scales with kernel-body size — PB=4
+    quadruples every kernel's trace for zero coverage (the pb loop is
+    mechanical replication; the on-device bench verify gates the PB>1
+    lowering on real hardware)."""
+    if interpret:
+        return 1
     for b in (4, 2):
         if NG % b == 0:
             return b
@@ -689,7 +697,7 @@ def make_deposit_kernel(spec: StreamSpec, D: int, tshape, origin, mode: str):
     RT1 = GROWS * S1 if r3 else GROWS  # p2g1 rows per tile (d1blk layout)
     RT = (CH * S1 if r3 else CH) if mode == "p2g2" else RT1
     OW = 128 if r3 else EP  # output lane width
-    PB = _pbatch(NG)  # groups per program (amortizes ~550ns dispatch)
+    PB = _pbatch(NG, spec.interpret)  # groups/program (dispatch amortization)
     zf = _use_zfac(spec, D)
     zf_dep = zf and ZFAC_DEPOSIT
     zf_rho = zf and ZFAC_RHO and mode == "p2g2"
@@ -1170,7 +1178,7 @@ def make_collect_kernel(spec: StreamSpec, D: int, tshape, origin, fused_p2g1: bo
     S1 = E3 // 128 if r3 else 0
     RT = GROWS * S1 if r3 else GROWS
     OW = 128 if r3 else EP
-    PB = _pbatch(NG)  # groups per program (amortizes ~550ns dispatch)
+    PB = _pbatch(NG, spec.interpret)  # groups/program (dispatch amortization)
     zf = _use_zfac(spec, D)
     zf_g2p = zf and ZFAC_G2P
     zf_dep = zf and ZFAC_DEPOSIT

@@ -854,16 +854,11 @@ class ShardedSession:
             )
 
     def frame(self, mouse=None) -> None:
-        from .. import step as step_mod
-
-        mp, ma = mouse if mouse is not None else step_mod.no_mouse()
-        self._ss, nrb = sharded_stream_frame(
-            self._ss, self.cfg, self.sspec, self.mesh, mp, ma
-        )
-        self.rebins += int(nrb)
-        self._frames += 1
-        if self.strict:
-            self._check(f"at frame {self._frames}")
+        """Advance one frame.  Delegates to ``run(1)`` so the interactive
+        per-frame path and the fused k-frame path share ONE jitted program
+        (a separate per-frame program would double the trace/compile cost
+        for identical semantics)."""
+        self.run(1, mouse)
 
     # -- fused spans + replay (round-4 Session upgrades, VERDICT r4 #6) -----
 

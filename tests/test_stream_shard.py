@@ -172,11 +172,11 @@ def test_sharded_session_interactive():
     # k-frame fused run, and bit-identical snapshot/restore replay through
     # the SAME warm program — the timing discipline sharded benchmarks need
     snap = sess.snapshot()
-    sess.run(2)
-    first = jax.tree.map(np.asarray, sess._ss)
+    sess.run(1)  # one fused span (suite budget: the k-frame program is
+    first = jax.tree.map(np.asarray, sess._ss)  # one trace regardless of k)
     f1, r1 = sess._frames, sess.rebins
     sess.restore(snap)
-    sess.run(2)
+    sess.run(1)
     second = jax.tree.map(np.asarray, sess._ss)
     assert sess._frames == f1 and sess.rebins == r1
     for a, b in zip(jax.tree.leaves(first), jax.tree.leaves(second)):
