@@ -296,6 +296,21 @@ def _bench_frame(cfg, p, dom, frames, backend, batch=None, spec_override=None,
             raise RuntimeError("big-tile spec infeasible for this scene")
         backend = "stream"
 
+    if backend == "stream-solo":
+        # pair-OFF race twin (2D, round 5): 2D pairing is brand-new, so the
+        # recorded number comes from racing it against the un-paired spec
+        # instead of trusting a micro A/B — a config can never regress
+        # below its round-3 (un-paired) form because of the pair rollout
+        if batch:
+            raise RuntimeError("stream-solo races unbatched configs only")
+        sp = _stream_spec(cfg, dom, n, pos=p.pos)
+        if sp.pair:
+            import dataclasses as _dc
+
+            sp = _dc.replace(sp, pair=False, group=8)
+        spec_override = sp
+        backend = "stream"
+
     if backend == "stream":
         import dataclasses as _dc
 
@@ -592,9 +607,10 @@ def sharded_sanity(quick: bool = False):
 
 CONFIGS = {
     # name: (dim, particles, frames, batch, baseline_key, backends)
-    "2d-ref": (2, 4096, 20, None, "2d_reference_frame", ("stream", "dense", "tiled")),
+    "2d-ref": (2, 4096, 20, None, "2d_reference_frame",
+               ("stream", "stream-solo", "dense", "tiled")),
     "3d-ref": (3, 4096, 10, None, "3d_reference_frame", ("stream", "tiled", "dense")),
-    "2d-100k": (2, 100_000, 5, None, "2d_100k", ("stream", "tiled")),
+    "2d-100k": (2, 100_000, 5, None, "2d_100k", ("stream", "stream-solo", "tiled")),
     # tiled is demoted at 1M: a capacity spec large enough for the settled
     # scene (occupied tiles grow ~1.45x + splash) no longer fits HBM, and
     # smaller specs fail the strict overflow check — stream is the hot path
@@ -631,7 +647,7 @@ def run_config(name, backend, quick, baselines):
         """Self-tuning failure ladder for stream runs: a failed attempt was
         never recorded, so each rung stays honest.  Returns True to retry."""
         global _PAIR, _PAIR2D, _ACTIVE_MULT
-        if b not in ("stream", "stream-big"):
+        if b not in ("stream", "stream-big", "stream-solo"):
             return False
         if _ACTIVE_MULT is not None:
             # tight active budget exhausted mid-run (particle loss /
@@ -664,6 +680,8 @@ def run_config(name, backend, quick, baselines):
         timed = {}
         needs = {}
         for b in backends:
+            if b == "stream-solo" and not (_PAIR2D if dim == 2 else _PAIR):
+                continue  # identical to "stream" when pairing is off
             for _attempt in range(1 + len(_ACTIVE_MULTS)):
                 try:
                     pcopy = jax.tree.map(lambda a: a.copy(), p)
