@@ -102,6 +102,46 @@ def test_sharded_stream_pair_matches_dense():
     np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel), atol=1e-3)
 
 
+@pytest.mark.slow
+def test_sharded_stream_2d_pair_matches_dense():
+    """2D sharded stream WITH flat 2D pairing (round 5) vs dense: the 2D
+    flat kernel branch + ghost exchange + migration compose.  slow-marked:
+    the default suite covers the 2D sharded surface via the app --shards
+    smoke and the flat-branch physics via the single-chip pair2d test."""
+    from fluid_tpu.config import default_2d
+
+    world = 16.0
+    cfg = default_2d().replace(
+        boundary_clip=((0.0,) * 2, (world,) * 2), grid_res=16
+    )
+    dom = make_domain(cfg, halo_cells=4)
+    key = jax.random.key(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    pos = jax.random.uniform(k1, (256, 2), jnp.float32, world / 4, world - world / 4)
+    from fluid_tpu.state import ParticleState as PS
+
+    p = PS.create(pos)
+    import dataclasses
+
+    p = dataclasses.replace(
+        p,
+        vel=jax.random.normal(k2, p.vel.shape) * 3.0,
+        C=jax.random.normal(k3, p.C.shape) * 0.05,
+    )
+    s = 2
+    sspec = sh.default_shard_spec(cfg, dom, s, p.n, pos=p.pos, vel=p.vel, pair=True)
+    assert sspec.spec.pair
+    mesh = Mesh(np.array(jax.devices()[:s]), (sh.AXIS,))
+    ss = sh.shard_stream(p, cfg, sspec, mesh)
+    mp, ma = step.no_mouse()
+    substeps = 8
+    out, _ = sh.sharded_stream_frame(ss, cfg, sspec, mesh, mp, ma, substeps=substeps)
+    got = sh.gather_stream(out, cfg, sspec, p.n)  # asserts conservation
+    want = _dense(cfg, dom, p, substeps)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel), atol=1e-3)
+
+
 def test_sharded_budget_exhaustion_fails_loudly():
     """A per-slab active budget too small for one slab's closure must
     surface through the shell_drop watermark / conservation assert in
