@@ -73,6 +73,19 @@ class StreamShardSpec:
     ts: int  # owned tile columns per device
     spec: StreamSpec  # local per-device stream spec
     migrate_cap: int  # max emigrants per direction per re-bin
+    # static bound on per-device LIVE rows for the compacted re-bin
+    # (0 = all slots, the shape-safe fallback).  A device can never hold
+    # more rows than min(its slot count, the GLOBAL particle count), so
+    # default_shard_spec sets that — at 3d-1m/s=1 it cuts the re-bin's
+    # row shape 2.23M slots -> 1M rows (measured ~1.7 s/re-bin before).
+    live_cap: int = 0
+
+    @property
+    def live_cap_rows(self) -> int:
+        D = len(self.domain.shape)
+        pair = stx._use_pair(self.spec, D)
+        nslots = (self.spec.A // 2 if pair else self.spec.A) * self.spec.cap
+        return min(self.live_cap, nslots) if self.live_cap > 0 else nslots
 
     @property
     def tile(self) -> int:
@@ -168,7 +181,11 @@ def default_shard_spec(
     )
     mcap = max(256, n // n_shards // 4)
     return StreamShardSpec(
-        domain=domain, n_shards=n_shards, ts=ts, spec=spec, migrate_cap=mcap
+        domain=domain, n_shards=n_shards, ts=ts, spec=spec, migrate_cap=mcap,
+        # a device can never hold more live rows than exist globally:
+        # live_cap_rows = min(n, local slot count) bounds the compacted
+        # re-bin's row shape (see _sharded_rebin)
+        live_cap=n,
     )
 
 
@@ -522,10 +539,17 @@ def _sharded_rebin(
 ) -> ShardStreamState:
     """Re-bin + slot migration (the swap_mul analog).
 
-    Slot-shaped (O(A*cap)): per-device live counts are dynamic, so the
-    compacted O(n) form does not apply; local slot counts are a fraction of
-    the global N.  Movers are slots whose predictive key lands in a ghost
-    column; each direction ships up to migrate_cap rows."""
+    COMPACTED to the per-device live rows first (round 5): the old form
+    ran keys/extract/sort over ALL slots — O(A·cap) = 2.23M rows at 3d-1m
+    where ~1M are live — and measured ~1.7 s per re-bin on v5e (the whole
+    ×4.67 sharded-sanity overhead; the sharded SUBSTEP is only ×1.25).
+    Per-device live counts are dynamic, but they are bounded by the STATIC
+    ``live_cap`` = min(slot count, global n): a device can never hold more
+    rows than exist globally.  Compacting via the same one-hot-histogram
+    ``_compact_src`` the solo ``_rebin_full`` uses makes every downstream
+    op (keys, the two extract-k argsorts, the bin sort + slot fill)
+    live_cap-shaped.  Movers are rows whose predictive key lands in a
+    ghost column; each direction ships up to migrate_cap rows."""
     spec = sspec.spec
     D = cfg.dim
     s = sspec.n_shards
@@ -537,20 +561,26 @@ def _sharded_rebin(
 
     # pair-aware slot flatten: under spec.pair each cap-lane block holds
     # TWO front-packed tiles, so validity is per-BLOCK count sums
-    flat, slot_valid = stx._slots_flat(st, spec, D)
-    nslots = flat.shape[0]
-    keys = _local_keys(flat[:, 0:D], flat[:, D : 2 * D], sspec, cfg.dt)
-    keys = jnp.where(slot_valid, keys, nt)
+    flat = stx._stream_flat(st, spec, D)
+    ncap = sspec.live_cap_rows
+    live = st.count.sum()
+    src = stx._compact_src(
+        st.count, ncap, spec.cap, spec.A, stx._use_pair(spec, D)
+    )
+    rows = jnp.take(flat, src, axis=0)  # [ncap, F] live-compacted
+    valid = jnp.arange(ncap, dtype=jnp.int32) < live
+    keys = _local_keys(rows[:, 0:D], rows[:, D : 2 * D], sspec, cfg.dt)
+    keys = jnp.where(valid, keys, nt)
 
     tx = keys // rs  # local tile x column
-    go_left = slot_valid & (tx == 0)
-    go_right = slot_valid & (tx == sspec.ts + 1)
+    go_left = valid & (tx == 0)
+    go_right = valid & (tx == sspec.ts + 1)
 
-    iota = jnp.arange(nslots, dtype=jnp.int32)
+    iota = jnp.arange(ncap, dtype=jnp.int32)
     sel_l, val_l = _extract_k(go_left, iota, mcap)
     sel_r, val_r = _extract_k(go_right, iota, mcap)
-    em_l = jnp.take(flat, sel_l, axis=0)
-    em_r = jnp.take(flat, sel_r, axis=0)
+    em_l = jnp.take(rows, sel_l, axis=0)
+    em_r = jnp.take(rows, sel_r, axis=0)
     em_l = jnp.where(val_l[:, None], em_l, 0.0)
     em_r = jnp.where(val_r[:, None], em_r, 0.0)
     # emigrant x leaves in GLOBAL coordinates (templates differ per device)
@@ -571,9 +601,9 @@ def _sharded_rebin(
     im_keys = _local_keys(im[:, 0:D], im[:, D : 2 * D], sspec, cfg.dt)
     im_keys = jnp.where(imv, im_keys, nt)
 
-    rows = jnp.concatenate([flat, im], axis=0)
+    rows_all = jnp.concatenate([rows, im], axis=0)
     all_keys = jnp.concatenate([keys, im_keys], axis=0)
-    return _bin_local(rows, rows.shape[0], sspec, all_keys)
+    return _bin_local(rows_all, rows_all.shape[0], sspec, all_keys)
 
 
 def sharded_frame_binned(
