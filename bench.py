@@ -556,14 +556,16 @@ def sharded_sanity(quick: bool = False):
         snap = sess.snapshot()
         sess.run(frames, (mp, ma))
         sess.block_until_ready()
-        sess.restore(snap)
-        t0 = time.perf_counter()
-        sess.run(frames, (mp, ma))
-        sess.block_until_ready()
-        dt = time.perf_counter() - t0
-        if sess.live_count() != n or sess.shell_drop():
-            raise RuntimeError("solo run lost particles / dropped relays")
-        return dt / frames
+        best = float("inf")
+        for _ in range(2):  # min-of-reps: tunnel span noise is multi-x
+            sess.restore(snap)
+            t0 = time.perf_counter()
+            sess.run(frames, (mp, ma))
+            sess.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+            if sess.live_count() != n or sess.shell_drop():
+                raise RuntimeError("solo run lost particles / dropped relays")
+        return best / frames
 
     def sharded():
         mesh = Mesh(np.array(jax.devices()[:1]), (sh.AXIS,))
@@ -579,14 +581,16 @@ def sharded_sanity(quick: bool = False):
         snap = sess.snapshot()
         sess.run(frames, (mp, ma))
         sess.block_until_ready()
-        sess.restore(snap)
-        t0 = time.perf_counter()
-        sess.run(frames, (mp, ma))
-        sess.block_until_ready()
-        dt = time.perf_counter() - t0
-        if sess.live_count() != n or sess.shell_drop():
-            raise RuntimeError("sharded run lost particles / dropped relays")
-        return dt / frames
+        best = float("inf")
+        for _ in range(2):  # min-of-reps: tunnel span noise is multi-x
+            sess.restore(snap)
+            t0 = time.perf_counter()
+            sess.run(frames, (mp, ma))
+            sess.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+            if sess.live_count() != n or sess.shell_drop():
+                raise RuntimeError("sharded run lost particles / dropped relays")
+        return best / frames
 
     s_solo = solo()
     s_sh = sharded()
