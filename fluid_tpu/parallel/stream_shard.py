@@ -910,23 +910,14 @@ class ShardedSession:
         self._frames, self.rebins, src = snap
         self._ss = jax.tree.map(lambda a: a.copy(), src)
 
-    def _run_fn(self, frames: int):
-        """Jitted ``frames``-frame program (cached per k): the whole span is
-        ONE device dispatch — per-frame dispatch pays ~1-3 ms of tunnel
-        latency plus a strict host sync every frame."""
-        fn = self._run_fns.get(frames)
+    def _frame_fn(self):
+        """The ONE jitted per-frame program (cached)."""
+        fn = self._run_fns.get(1)
         if fn is None:
             cfg, sspec = self.cfg, self.sspec
 
             def local(ss, mp, ma):
-                def body(_, carry):
-                    ss, rb = carry
-                    ss, nrb = sharded_frame_binned(ss, cfg, sspec, mp, ma)
-                    return ss, rb + nrb
-
-                return lax.fori_loop(
-                    0, frames, body, (ss, jnp.zeros((), jnp.int32))
-                )
+                return sharded_frame_binned(ss, cfg, sspec, mp, ma)
 
             fn = jax.jit(
                 jax.shard_map(
@@ -935,18 +926,31 @@ class ShardedSession:
                 ),
                 donate_argnums=0,
             )
-            self._run_fns[frames] = fn
+            self._run_fns[1] = fn
         return fn
 
     def run(self, frames: int, mouse=None) -> None:
-        """Advance ``frames`` frames in ONE device program.  ``mouse``
-        applies to every frame in the span — interactive use wants
-        ``frame()``."""
+        """Advance ``frames`` frames as k ASYNC dispatches of the single
+        per-frame program — no host sync between frames (the re-bin
+        counters are fetched once at the end), so dispatch latency
+        pipelines behind execution.  Chosen over Session.run's
+        fori-of-frames fusion: at sharded scales a frame is seconds, so
+        there is no dispatch latency worth fusing away, one program
+        serves frame() and run(), and the direct per-frame form is the
+        one that measured the honest ×1.65 overhead vs solo (3d-1m,
+        1-device mesh, min-of-reps; harness-span measurements of BOTH
+        forms were unstable ×3.3-6.7 on the flaky tunnel — see
+        BASELINE.md round-5 memo note).  ``mouse`` applies to every
+        frame in the span — interactive use wants ``frame()``."""
         from .. import step as step_mod
 
         mp, ma = mouse if mouse is not None else step_mod.no_mouse()
-        self._ss, nrb = self._run_fn(frames)(self._ss, mp, ma)
-        self.rebins += int(nrb)
+        fn = self._frame_fn()
+        nrbs = []
+        for _ in range(frames):
+            self._ss, nrb = fn(self._ss, mp, ma)
+            nrbs.append(nrb)
+        self.rebins += int(jnp.stack(nrbs).sum())  # ONE end-of-span fetch
         self._frames += frames
         if self.strict:
             self._check(f"during {frames}-frame run")
